@@ -1,0 +1,224 @@
+"""Generate golden parity fixtures by running the reference implementation.
+
+Run once (offline, during development):
+
+    python tools/make_goldens.py
+
+It synthesizes a corpus of MIDI byte-streams covering the tricky codec paths
+(running status, velocity-0 note-offs, overlapping notes, unterminated notes,
+meta events, sysex, multi-track tempo maps), then records the REFERENCE
+implementation's outputs (midi2opus / midi2score / tokenize / detokenize /
+check_quality / event2tokens round-trips) into pickled fixtures under
+tests/golden/.  The test-suite compares OUR implementation against these
+fixtures without ever importing the reference.
+"""
+
+import pickle
+import random
+import sys
+from pathlib import Path
+
+REFERENCE = "/root/reference"
+OUT_DIR = Path(__file__).resolve().parent.parent / "tests" / "golden"
+
+sys.path.insert(0, REFERENCE)
+
+import MIDI  # noqa: E402  (reference)
+from midi_tokenizer import MIDITokenizer  # noqa: E402  (reference)
+
+
+def rand_note_cluster(rng, t, channel, n):
+    """A cluster of possibly-overlapping notes starting near tick t."""
+    events = []
+    for _ in range(n):
+        start = t + rng.randint(0, 400)
+        dur = rng.randint(1, 960)
+        pitch = rng.randint(20, 110)
+        vel = rng.randint(1, 127)
+        events.append(["note", start, dur, channel, pitch, vel])
+    return events
+
+
+def make_random_score(rng, ntracks=3, length=200, tpq=None):
+    tpq = tpq or rng.choice([96, 120, 384, 480, 960])
+    score = [tpq]
+    for ti in range(ntracks):
+        track = []
+        channel = rng.choice([0, 1, 2, 9, 10, 15])
+        track.append(["track_name", 0, bytes(f"trk{ti}", "ascii")])
+        track.append(["patch_change", 0, channel, rng.randint(0, 127)])
+        if ti == 0:
+            track.append(["set_tempo", 0, rng.randint(200000, 1500000)])
+            track.append(["time_signature", 0, rng.choice([2, 3, 4, 6]),
+                          rng.choice([1, 2, 3]), 24, 8])
+            track.append(["key_signature", 0, rng.randint(-7, 7), rng.randint(0, 1)])
+        t = 0
+        for _ in range(length):
+            t += rng.randint(0, 300)
+            kind = rng.random()
+            if kind < 0.75:
+                track.extend(rand_note_cluster(rng, t, channel, rng.randint(1, 3)))
+            elif kind < 0.85:
+                track.append(["control_change", t, channel, rng.choice([1, 7, 10, 11, 64]),
+                              rng.randint(0, 127)])
+            elif kind < 0.92:
+                track.append(["set_tempo", t, rng.randint(200000, 1500000)])
+            elif kind < 0.96:
+                track.append(["patch_change", t, channel, rng.randint(0, 127)])
+            else:
+                track.append(["pitch_wheel_change", t, channel, rng.randint(-8192, 8191)])
+        score.append(track)
+    return score
+
+
+def make_handcrafted_bytes():
+    """Byte streams exercising decoder edge cases, built via the reference encoder."""
+    cases = {}
+
+    # Velocity-0 note-on used as note-off + running status (encoder emits it).
+    opus = [480, [
+        ["patch_change", 0, 0, 5],
+        ["note_on", 0, 0, 60, 100],
+        ["note_on", 10, 0, 64, 100],
+        ["note_on", 120, 0, 60, 0],      # vel-0 off
+        ["note_off", 50, 0, 64, 64],
+        ["text_event", 5, b"hello"],
+        ["lyric", 0, b"la"],
+        ["sysex_f0", 0, b"\x7e\x7f\x09\x01\xf7"],
+        ["control_change", 3, 0, 7, 99],
+        ["end_track", 77],
+    ]]
+    cases["edge_vel0_running"] = MIDI.opus2midi(opus)
+
+    # Unterminated notes + overlapping same-pitch notes (FIFO matching).
+    opus = [96, [
+        ["note_on", 0, 1, 70, 90],
+        ["note_on", 5, 1, 70, 91],       # second note same pitch
+        ["note_off", 5, 1, 70, 0],       # closes the FIRST one
+        ["note_on", 20, 1, 72, 80],      # never closed
+    ]]
+    cases["edge_fifo_unterminated"] = MIDI.opus2midi(opus)
+
+    # Multi-track with meta events everywhere + smpte + sequence number.
+    opus = [384,
+            [["set_sequence_number", 0, 7], ["smpte_offset", 0, 1, 2, 3, 4, 5],
+             ["set_tempo", 0, 600000], ["time_signature", 0, 3, 2, 24, 8],
+             ["key_signature", 0, -3, 1], ["marker", 10, b"m1"],
+             ["sequencer_specific", 0, b"\x00\x01"], ["song_position", 0, 1000],
+             ["song_select", 0, 12], ["tune_request", 4]],
+            [["note_on", 0, 9, 35, 120], ["note_off", 48, 9, 35, 0],
+             ["channel_after_touch", 0, 9, 55], ["key_after_touch", 2, 9, 35, 66],
+             ["note_on", 0, 9, 42, 100], ["note_on", 24, 9, 42, 0]]]
+    cases["edge_meta_all"] = MIDI.opus2midi(opus)
+
+    # Empty track + raw meta.
+    opus = [1000, [], [["raw_meta_event", 0, 0x60, b"\x01\x02"], ["note_on", 1, 3, 50, 50],
+                       ["note_off", 100, 3, 50, 0]]]
+    cases["edge_empty_and_rawmeta"] = MIDI.opus2midi(opus)
+
+    # Truncated / garbage inputs (decoder robustness parity).
+    good = cases["edge_vel0_running"]
+    cases["bad_truncated"] = good[: len(good) - 7]
+    cases["bad_not_midi"] = b"RIFFxxxxWAVE" + b"\x00" * 32
+    cases["bad_short"] = b"MT"
+    return cases
+
+
+def main():
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    rng = random.Random(0xC0FFEE)
+
+    corpus = {}
+    # Random scores of varying shape -> bytes via the reference encoder.
+    for i in range(14):
+        ntracks = rng.randint(1, 6)
+        length = rng.choice([30, 80, 200, 400])
+        score = make_random_score(rng, ntracks=ntracks, length=length)
+        corpus[f"rand_{i:02d}"] = MIDI.score2midi(score)
+    corpus.update(make_handcrafted_bytes())
+
+    codec_goldens = {}
+    for name, data in corpus.items():
+        codec_goldens[name] = {
+            "bytes": data,
+            "opus": MIDI.midi2opus(data),
+            "score": MIDI.midi2score(data),
+            "ms_score": None,
+            "score2midi": None,
+            "stats": None,
+        }
+        try:
+            codec_goldens[name]["ms_score"] = MIDI.midi2ms_score(data)
+        except Exception:
+            pass
+        score = codec_goldens[name]["score"]
+        # Re-encode the decoded score (canonicalized round trip).
+        codec_goldens[name]["score2midi"] = MIDI.score2midi(score)
+        stats = MIDI.score2stats(score)
+        stats = dict(stats)
+        codec_goldens[name]["stats"] = stats
+
+    with open(OUT_DIR / "codec.pkl", "wb") as f:
+        pickle.dump(codec_goldens, f)
+
+    # Tokenizer goldens: tokenize each decoded score under all 4 configs.
+    tok_goldens = {}
+    for version in ("v1", "v2"):
+        for optimise in (False, True):
+            tok = MIDITokenizer(version)
+            tok.set_optimise_midi(optimise)
+            key = f"{version}_{'opt' if optimise else 'raw'}"
+            per_file = {}
+            for name, g in codec_goldens.items():
+                if name.startswith("bad_"):
+                    continue
+                try:
+                    seq = tok.tokenize(g["score"])
+                except Exception as e:  # record exceptions as strings for parity
+                    per_file[name] = {"error": repr(e)}
+                    continue
+                detok = tok.detokenize(seq)
+                quality = tok.check_quality(seq)
+                per_file[name] = {
+                    "tokens": seq,
+                    "detok": detok,
+                    "detok_midi": MIDI.score2midi(detok),
+                    "quality": quality,
+                }
+                # Second-pass stability: tokenize(detokenize(tokens))
+                per_file[name]["tokens2"] = tok.tokenize(detok)
+            tok_goldens[key] = {
+                "vocab_size": tok.vocab_size,
+                "max_token_seq": tok.max_token_seq,
+                "events": tok.events,
+                "event_parameters": tok.event_parameters,
+                "event_ids": tok.event_ids,
+                "parameter_ids": tok.parameter_ids,
+                "to_dict": tok.to_dict(),
+                "files": per_file,
+            }
+
+    # Augment determinism goldens: seed python RNG, augment, record.
+    tok = MIDITokenizer("v2")
+    aug_goldens = {}
+    for name, g in codec_goldens.items():
+        if name.startswith("bad_"):
+            continue
+        try:
+            seq = tok.tokenize(g["score"])
+        except Exception:
+            continue
+        random.seed(1234)
+        aug_goldens[name] = tok.augment(seq)
+    tok_goldens["v2_augment_seed1234"] = aug_goldens
+
+    with open(OUT_DIR / "tokenizer.pkl", "wb") as f:
+        pickle.dump(tok_goldens, f)
+
+    total = sum(len(v["bytes"]) for v in codec_goldens.values())
+    print(f"wrote {len(codec_goldens)} codec goldens ({total} bytes of midi), "
+          f"{len(tok_goldens)} tokenizer configs -> {OUT_DIR}")
+
+
+if __name__ == "__main__":
+    main()
