@@ -1,0 +1,15 @@
+"""Checkpoint and artifact interop (torch/HF <-> JAX pytrees)."""
+
+from .torch_ckpt import (
+    load_state_dict,
+    params_from_state_dict,
+    save_safetensors,
+    state_dict_from_params,
+)
+
+__all__ = [
+    "load_state_dict",
+    "params_from_state_dict",
+    "save_safetensors",
+    "state_dict_from_params",
+]

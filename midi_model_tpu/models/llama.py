@@ -1,0 +1,216 @@
+"""Llama-style decoder stack as pure-functional JAX over parameter pytrees.
+
+HF-Llama-exact numerics (required for torch-checkpoint parity, see
+/root/reference/midi_model.py:105-106 which builds ``transformers.LlamaModel``):
+
+- RMSNorm in float32, weight applied after the cast back (eps 1e-6 default);
+- rotary embeddings in the "rotate_half" (non-interleaved) layout, angles
+  computed in float32 from ``rope_theta``;
+- attention scores scaled by ``head_dim**-0.5`` with float32 softmax;
+- SwiGLU MLP ``down(silu(gate(x)) * up(x))``; no biases anywhere.
+
+Weights are stored as ``[in, out]`` matrices (transposed from torch's Linear)
+and **stacked across layers** on a leading axis so the layer loop is a single
+``lax.scan`` — one compiled layer body regardless of depth, which keeps
+compile times flat and lets XLA pipeline HBM prefetch across layers.
+
+The same forward serves training (no cache) and decode (ring KV cache with a
+write index); decode keeps every tensor statically shaped so the generation
+loop can live entirely inside one jitted ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import TransformerConfig
+
+
+class KVCache(NamedTuple):
+    """Per-stack KV cache: keys/values stacked over layers, plus write index.
+
+    Shapes: ``k, v: [num_layers, batch, max_seq, kv_heads, head_dim]``;
+    ``index``: number of tokens already cached (static shape, dynamic value).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    index: jax.Array  # int32 scalar
+
+    @staticmethod
+    def zeros(cfg: TransformerConfig, batch: int, max_seq: int, dtype=jnp.float32):
+        shape = (cfg.num_layers, batch, max_seq, cfg.kv_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            index=jnp.zeros((), jnp.int32),
+        )
+
+
+def init_transformer_params(key: jax.Array, cfg: TransformerConfig,
+                            dtype=jnp.float32, embed: bool = True) -> dict:
+    """Random init (normal(initializer_range), like HF)."""
+    n_k = 8
+    keys = jax.random.split(key, n_k)
+    d, dh = cfg.hidden_size, cfg.head_dim
+    h, hkv, f, l_n = cfg.num_heads, cfg.kv_heads, cfg.intermediate_size, cfg.num_layers
+    std = cfg.initializer_range
+
+    def w(k, *shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    params = {
+        "layers": {
+            "wq": w(keys[0], l_n, d, h * dh),
+            "wk": w(keys[1], l_n, d, hkv * dh),
+            "wv": w(keys[2], l_n, d, hkv * dh),
+            "wo": w(keys[3], l_n, h * dh, d),
+            "w_gate": w(keys[4], l_n, d, f),
+            "w_up": w(keys[5], l_n, d, f),
+            "w_down": w(keys[6], l_n, f, d),
+            "ln_attn": jnp.ones((l_n, d), dtype),
+            "ln_mlp": jnp.ones((l_n, d), dtype),
+        },
+        "final_norm": jnp.ones((d,), dtype),
+    }
+    if embed:
+        params["embed"] = w(keys[7], cfg.vocab_size, d)
+    return params
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return weight * xf.astype(dtype)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for the given positions; float32, shape [..., head_dim]."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., Dh/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, S, H, Dh]; cos/sin: [S, Dh] or [B, S, Dh] (float32)."""
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :]  # broadcast over heads
+    sin = sin[:, :, None, :]
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    out = x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin
+    return out.astype(x.dtype)
+
+
+def _attention(q, k, v, mask_bias):
+    """q: [B,S,H,Dh]; k,v: [B,T,Hkv,Dh]; mask_bias: [B or 1, 1, S, T] additive.
+
+    fp32 score accumulation + fp32 softmax (HF parity); MXU-friendly einsums.
+    """
+    b, s, h, dh = q.shape
+    hkv = k.shape[2]
+    if hkv != h:  # GQA: expand kv heads
+        k = jnp.repeat(k, h // hkv, axis=2)
+        v = jnp.repeat(v, h // hkv, axis=2)
+    scale = dh**-0.5
+    scores = jnp.einsum("bshd,bthd->bhst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = scores + mask_bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhst,bthd->bshd", probs, v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out
+
+
+def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
+           cache_kv: Optional[Tuple[jax.Array, jax.Array]], cache_index):
+    """One decoder layer. Returns (x, (new_k_cache, new_v_cache) or None)."""
+    b, s, d = x.shape
+    h, hkv, dh = cfg.num_heads, cfg.kv_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+
+    hctx = rms_norm(x, lp["ln_attn"], eps)
+    q = (hctx @ lp["wq"]).reshape(b, s, h, dh)
+    k = (hctx @ lp["wk"]).reshape(b, s, hkv, dh)
+    v = (hctx @ lp["wv"]).reshape(b, s, hkv, dh)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_cache = None
+    if cache_kv is not None:
+        ck, cv = cache_kv  # [B, T, Hkv, Dh]
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_index, 0, 0))
+        k, v = ck, cv
+        new_cache = (ck, cv)
+
+    attn = _attention(q, k, v, mask_bias).reshape(b, s, h * dh)
+    x = x + attn @ lp["wo"]
+
+    hmlp = rms_norm(x, lp["ln_mlp"], eps)
+    gated = jax.nn.silu(hmlp @ lp["w_gate"]) * (hmlp @ lp["w_up"])
+    x = x + gated @ lp["w_down"]
+    return x, new_cache
+
+
+def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
+            cache: Optional[KVCache] = None,
+            ) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Run the stack on pre-computed input embeddings.
+
+    - without cache: full causal self-attention over ``inputs_embeds [B,S,D]``.
+    - with cache: positions start at ``cache.index``; new KV are written into
+      the cache (static max length) and attention spans all valid positions.
+
+    Returns (hidden_states [B,S,D], updated cache or None).
+    """
+    b, s, _ = inputs_embeds.shape
+
+    if cache is None:
+        positions = jnp.arange(s)
+        q_pos = positions[:, None]
+        k_pos = positions[None, :]
+        bias = jnp.where(k_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
+        bias = bias[None, None]  # [1, 1, S, S]
+    else:
+        positions = cache.index + jnp.arange(s)
+        t = cache.k.shape[2]
+        k_pos = jnp.arange(t)[None, :]
+        bias = jnp.where(k_pos <= positions[:, None], 0.0, -jnp.inf)
+        bias = bias[None, None].astype(jnp.float32)  # [1, 1, S, T]
+
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    x = inputs_embeds
+    lp = params["layers"]
+    if cache is None:
+        def body(carry, layer_params):
+            out, _ = _layer(carry, layer_params, cfg, cos, sin, bias, None, None)
+            return out, None
+
+        x, _ = jax.lax.scan(body, x, lp)
+        new_cache = None
+    else:
+        def body(carry, xs):
+            layer_params, ck, cv = xs
+            out, (nk, nv) = _layer(carry, layer_params, cfg, cos, sin, bias,
+                                   (ck, cv), cache.index)
+            return out, (nk, nv)
+
+        x, (nk, nv) = jax.lax.scan(body, x, (lp, cache.k, cache.v))
+        new_cache = KVCache(k=nk, v=nv, index=cache.index + s)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, new_cache
+
+
+def embed_tokens(params: dict, tokens: jax.Array) -> jax.Array:
+    """Token-id lookup into this stack's embedding table."""
+    return jnp.take(params["embed"], tokens, axis=0)
