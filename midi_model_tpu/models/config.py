@@ -77,7 +77,7 @@ class TransformerConfig:
         )
 
 
-@dataclass
+@dataclass(eq=False)  # identity hash/eq so configs can be jit static args
 class MIDIModelConfig:
     """Hierarchical model config: tokenizer + event-level net + token-level net."""
 

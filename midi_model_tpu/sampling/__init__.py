@@ -1,0 +1,17 @@
+"""Jitted grammar-constrained generation."""
+
+from .generate import GenState, decode_events, generate, normalize_prompt, prefill
+from .masks import MaskTable, build_mask_table
+from .topk_topp import sample_greedy, sample_top_p_k
+
+__all__ = [
+    "GenState",
+    "MaskTable",
+    "build_mask_table",
+    "decode_events",
+    "generate",
+    "normalize_prompt",
+    "prefill",
+    "sample_greedy",
+    "sample_top_p_k",
+]

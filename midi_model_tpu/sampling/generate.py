@@ -1,0 +1,234 @@
+"""Fully-jitted autoregressive generation for the hierarchical MIDI model.
+
+The reference generation loop (/root/reference/app.py:27-120,
+midi_model.py:167-250) crosses the host↔device boundary ~17× per event
+(1 event forward + 8 token forwards + 8 host-built masks/syncs).  Here the
+whole loop lives on device:
+
+- the event-level KV cache is a preallocated static-shape ring written at a
+  dynamic index (two-level cache design per SURVEY.md §7.3);
+- the 8-step inner token loop is a ``lax.scan`` whose grammar constraints come
+  from precomputed mask tables (masks.py) — variable event arity and per-row
+  eos become masked fixed-shape steps, exactly reproducing the reference's
+  dynamic loop including pad-forcing after eos;
+- per-event "end" state resets every event, matching the reference's quirk
+  that only a *simultaneous* all-rows eos terminates generation
+  (midi_model.py:196,248);
+- decoding runs in chunks of ``chunk_size`` events per device dispatch so the
+  serving layer can stream rows while amortizing dispatch overhead.
+
+Sampling is reference-exact top-p/top-k over temperature-scaled softmax times
+the grammar mask (see topk_topp.py); ``greedy=True`` takes the argmax instead
+(the checkpoint-parity acceptance gate).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama, midinet
+from ..models.config import MIDIModelConfig
+from ..models.llama import KVCache
+from .masks import MaskTable, build_mask_table
+from .topk_topp import sample_greedy, sample_top_p_k
+
+
+class GenState(NamedTuple):
+    """Carried decode state between chunks (all statically shaped)."""
+
+    cache: KVCache  # event-net KV cache, max_seq = prompt + max generated
+    hidden: jax.Array  # [B, D] hidden of the last consumed event row
+    cur_len: jax.Array  # int32: rows consumed so far (prompt + generated)
+    all_eos: jax.Array  # bool: every row emitted eos in the same event step
+
+
+def _mask_arrays(table: MaskTable):
+    return (jnp.asarray(table.first), jnp.asarray(table.steps),
+            jnp.asarray(table.pad_only))
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_seq"))
+def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
+            ) -> GenState:
+    """Run the event net over the prompt rows, filling the event cache."""
+    b = prompt.shape[0]
+    dtype = params["lm_head"].dtype
+    cache = KVCache.zeros(config.net, b, max_seq, dtype=dtype)
+    hidden, cache = midinet.forward(params, config, prompt, cache=cache)
+    return GenState(
+        cache=cache,
+        hidden=hidden[:, -1],
+        cur_len=jnp.asarray(prompt.shape[1], jnp.int32),
+        all_eos=jnp.asarray(False),
+    )
+
+
+def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
+                      masks, temp, top_p, top_k, key, greedy: bool):
+    """Sample one full row (8 tokens) and advance the event cache."""
+    first, steps_tbl, pad_only = masks
+    tok_cfg = config.net_token
+    b = state.hidden.shape[0]
+    t_max = config.tokenizer.max_token_seq
+    dtype = params["lm_head"].dtype
+    eos_id = config.tokenizer.eos_id
+    first_event_id = int(config.tokenizer.eos_id) + 1
+    n_events = len(config.tokenizer.events)
+
+    cache2 = KVCache.zeros(tok_cfg, b, t_max, dtype=dtype)
+
+    def token_step(carry, xs):
+        cache2, prev_tok, ended, e_off = carry
+        i, step_key = xs
+        inp = jnp.where(
+            (i == 0),
+            state.hidden.astype(dtype),
+            jnp.take(params["net_token"]["embed"], prev_tok, axis=0),
+        )[:, None, :]
+        h, cache2 = llama.forward(params["net_token"], tok_cfg, inp, cache=cache2)
+        logits = midinet.lm_head(params, h[:, 0])  # [B, V] f32
+        probs = jax.nn.softmax(logits / temp, axis=-1)
+        step_mask = steps_tbl[e_off, i]  # [B, V]
+        mask = jnp.where(i == 0, first[None, :], step_mask)
+        mask = jnp.where(ended[:, None], pad_only[None, :], mask)
+        probs = probs * mask
+        if greedy:
+            tok = sample_greedy(probs)
+        else:
+            tok = sample_top_p_k(probs, top_p, top_k, step_key)
+        tok = tok.astype(jnp.int32)
+        is_first = i == 0
+        ended = jnp.where(is_first, tok == eos_id, ended)
+        e_off = jnp.where(
+            is_first, jnp.clip(tok - first_event_id, 0, n_events - 1), e_off)
+        return (cache2, tok, ended, e_off), tok
+
+    keys = jax.random.split(key, t_max)
+    init = (cache2, jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool),
+            jnp.zeros((b,), jnp.int32))
+    (cache2, _, ended, _), toks = jax.lax.scan(
+        token_step, init, (jnp.arange(t_max), keys))
+    row = toks.T  # [B, T]
+
+    # Feed the sampled row through the event net (conditions the next event).
+    emb = midinet.embed_events(params, row[:, None, :])
+    h, cache1 = llama.forward(params["net"], config.net, emb, cache=state.cache)
+    return GenState(
+        cache=cache1,
+        hidden=h[:, 0],
+        cur_len=state.cur_len + 1,
+        all_eos=jnp.all(ended),
+    ), row
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "n_events_chunk", "greedy"))
+def decode_events(params, config: MIDIModelConfig, state: GenState, masks,
+                  n_events_chunk: int, temp, top_p, top_k, key,
+                  greedy: bool = False):
+    """Decode up to ``n_events_chunk`` rows in one device dispatch.
+
+    Stops early (masked no-op iterations) once every batch row emitted eos in
+    the same event, or the event cache is full.  Returns (state, rows
+    [B, n_events_chunk, T], n_done) where rows beyond n_done are pad.
+    """
+    b = state.hidden.shape[0]
+    t_max = config.tokenizer.max_token_seq
+    max_seq = state.cache.k.shape[2]
+    pad_id = config.tokenizer.pad_id
+    rows0 = jnp.full((b, n_events_chunk, t_max), pad_id, jnp.int32)
+
+    def cond(carry):
+        state, _, step = carry
+        return (step < n_events_chunk) & (~state.all_eos) & (state.cur_len < max_seq)
+
+    def body(carry):
+        state, rows, step = carry
+        step_key = jax.random.fold_in(key, step)
+        state, row = _decode_one_event(params, config, state, masks, temp,
+                                       top_p, top_k, step_key, greedy)
+        rows = jax.lax.dynamic_update_slice(rows, row[:, None, :], (0, step, 0))
+        return state, rows, step + 1
+
+    state, rows, n_done = jax.lax.while_loop(cond, body, (state, rows0, 0))
+    return state, rows, n_done
+
+
+def normalize_prompt(tokenizer, prompt: Optional[np.ndarray], batch_size: int,
+                     max_token_seq: Optional[int] = None) -> np.ndarray:
+    """Reference prompt normalization (midi_model.py:171-188): tile to batch,
+    clip/pad rows to ``max_token_seq``; default prompt is a lone bos row."""
+    t_max = max_token_seq or tokenizer.max_token_seq
+    if prompt is None:
+        out = np.full((batch_size, 1, t_max), tokenizer.pad_id, dtype=np.int64)
+        out[:, 0, 0] = tokenizer.bos_id
+        return out
+    prompt = np.asarray(prompt)
+    if prompt.ndim == 2:
+        prompt = np.repeat(prompt[None], batch_size, axis=0)
+    elif prompt.shape[0] == 1:
+        prompt = np.repeat(prompt, batch_size, axis=0)
+    elif prompt.ndim != 3 or prompt.shape[0] != batch_size:
+        raise ValueError(f"invalid shape for prompt, {prompt.shape}")
+    prompt = prompt[..., :t_max]
+    if prompt.shape[-1] < t_max:
+        prompt = np.pad(prompt, ((0, 0), (0, 0), (0, t_max - prompt.shape[-1])),
+                        mode="constant", constant_values=tokenizer.pad_id)
+    return prompt.astype(np.int64)
+
+
+def generate(params, config: MIDIModelConfig, prompt: Optional[np.ndarray] = None,
+             batch_size: int = 1, max_len: int = 512, temp: float = 1.0,
+             top_p: float = 0.98, top_k: int = 20, seed: int = 0,
+             greedy: bool = False, disable_patch_change: bool = False,
+             disable_control_change: bool = False,
+             disable_channels: Optional[list] = None,
+             chunk_size: Optional[int] = None, context_limit: int = 4096,
+             event_callback=None) -> np.ndarray:
+    """Host-facing generation: returns ``[B, L, T]`` int numpy rows
+    (prompt + generated), mirroring reference ``MIDIModel.generate``.
+
+    ``event_callback(rows_chunk)`` (if given) receives each decoded chunk as
+    numpy — this is the streaming hook the serving app uses.
+    """
+    tokenizer = config.tokenizer
+    prompt = normalize_prompt(tokenizer, prompt, batch_size)
+    prompt = prompt[:, -context_limit:]
+    b, p_len, t_max = prompt.shape
+    if p_len >= max_len:
+        return prompt
+
+    table = build_mask_table(
+        tokenizer, disable_patch_change=disable_patch_change,
+        disable_control_change=disable_control_change,
+        disable_channels=disable_channels)
+    masks = _mask_arrays(table)
+
+    state = prefill(params, config, jnp.asarray(prompt), max_len)
+    key = jax.random.PRNGKey(seed)
+
+    remaining = max_len - p_len
+    chunk = chunk_size or remaining
+    pieces = [prompt]
+    produced = 0
+    while produced < remaining:
+        n = min(chunk, remaining - produced)
+        key, sub = jax.random.split(key)
+        state, rows, n_done = decode_events(
+            params, config, state, masks, n, temp, top_p, top_k, sub,
+            greedy=greedy)
+        n_done = int(n_done)
+        rows_np = np.asarray(rows[:, :n_done])
+        if n_done:
+            pieces.append(rows_np)
+            if event_callback is not None:
+                event_callback(rows_np)
+        produced += n
+        if bool(state.all_eos) or n_done < n:
+            break
+    return np.concatenate(pieces, axis=1)

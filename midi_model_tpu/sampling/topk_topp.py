@@ -1,0 +1,37 @@
+"""On-device top-p / top-k categorical sampling.
+
+Mask semantics match the reference sampler exactly
+(/root/reference/midi_model.py:152-165):
+
+- sort probabilities descending;
+- zero entries whose *exclusive* cumulative mass exceeds ``p``
+  (``cumsum - p_i > p``);
+- keep only the first ``k`` entries of the sorted axis;
+- renormalize and draw categorically, mapping back to original ids.
+
+``top_k`` and ``top_p`` are traced scalars (no recompile when the UI slider
+moves).  Greedy decoding (used for checkpoint-parity testing) is the argmax of
+the same masked distribution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_top_p_k(probs: jax.Array, top_p, top_k, key: jax.Array) -> jax.Array:
+    """probs: [..., V] (need not be normalized). Returns sampled ids [...]."""
+    v = probs.shape[-1]
+    sorted_probs, sorted_idx = jax.lax.top_k(probs, v)  # descending
+    cumsum = jnp.cumsum(sorted_probs, axis=-1)
+    keep = (cumsum - sorted_probs) <= top_p
+    keep &= jnp.arange(v) < top_k
+    filtered = jnp.where(keep, sorted_probs, 0.0)
+    filtered = filtered / filtered.sum(axis=-1, keepdims=True)
+    choice = jax.random.categorical(key, jnp.log(filtered))
+    return jnp.take_along_axis(sorted_idx, choice[..., None], axis=-1)[..., 0]
+
+
+def sample_greedy(probs: jax.Array) -> jax.Array:
+    return jnp.argmax(probs, axis=-1)

@@ -1,0 +1,200 @@
+"""Generation-loop parity: jitted greedy decode vs a torch replica of the
+reference loop, plus grammar validity of sampled output.
+
+The torch replica below reimplements the reference's generation semantics
+(/root/reference/midi_model.py:167-250): per-event end reset, step-0
+event/eos mask, per-step parameter-range masks, pad forcing after the
+parameter list, early break, eos->pad rows — with argmax sampling so the
+comparison is deterministic.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+from transformers import DynamicCache, LlamaConfig, LlamaModel  # noqa: E402
+
+from midi_model_tpu.interop import params_from_state_dict  # noqa: E402
+from midi_model_tpu.models import MIDIModelConfig  # noqa: E402
+from midi_model_tpu.sampling import build_mask_table, generate  # noqa: E402
+
+
+def hf_llama(tc):
+    return LlamaModel(LlamaConfig(
+        vocab_size=tc.vocab_size, hidden_size=tc.hidden_size,
+        num_attention_heads=tc.num_heads, num_hidden_layers=tc.num_layers,
+        intermediate_size=tc.intermediate_size, pad_token_id=0,
+        max_position_embeddings=tc.max_position_embeddings, use_cache=True))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    torch.manual_seed(7)
+    cfg = MIDIModelConfig.get_config("v2", True, n_layer=4, n_head=4,
+                                     n_embd=64, n_inner=128)
+    net = hf_llama(cfg.net).eval()
+    net_token = hf_llama(cfg.net_token).eval()
+    lm_head = torch.nn.Linear(cfg.n_embd, cfg.tokenizer.vocab_size, bias=False)
+    sd = {}
+    for prefix, mod in (("net", net), ("net_token", net_token)):
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v.numpy()
+    sd["lm_head.weight"] = lm_head.weight.detach().numpy()
+    params = params_from_state_dict(sd, cfg)
+    return cfg, net, net_token, lm_head, params
+
+
+def torch_greedy_generate(cfg, net, net_token, lm_head, prompt, max_len):
+    """Greedy replica of the reference loop semantics."""
+    tokenizer = cfg.tokenizer
+    t_max = tokenizer.max_token_seq
+    input_tensor = torch.from_numpy(prompt).long()
+    batch_size = input_tensor.shape[0]
+    cur_len = input_tensor.shape[1]
+    cache1 = DynamicCache()
+    past_len = 0
+    with torch.no_grad():
+        while cur_len < max_len:
+            end = [False] * batch_size
+            emb = net.embed_tokens(input_tensor[:, past_len:]).sum(dim=-2)
+            hidden = net(inputs_embeds=emb, past_key_values=cache1,
+                         use_cache=True).last_hidden_state[:, -1]
+            next_token_seq = None
+            event_names = [""] * batch_size
+            cache2 = DynamicCache()
+            for i in range(t_max):
+                mask = torch.zeros((batch_size, tokenizer.vocab_size))
+                for b in range(batch_size):
+                    if end[b]:
+                        mask[b, tokenizer.pad_id] = 1
+                        continue
+                    if i == 0:
+                        mask[b, list(tokenizer.event_ids.values()) + [tokenizer.eos_id]] = 1
+                    else:
+                        pnames = tokenizer.events[event_names[b]]
+                        if i > len(pnames):
+                            mask[b, tokenizer.pad_id] = 1
+                            continue
+                        mask[b, tokenizer.parameter_ids[pnames[i - 1]]] = 1
+                if i == 0:
+                    seq = hidden.unsqueeze(1)
+                else:
+                    seq = net_token.embed_tokens(next_token_seq[:, -1:])
+                h2 = net_token(inputs_embeds=seq, past_key_values=cache2,
+                               use_cache=True).last_hidden_state
+                logits = lm_head(h2)[:, -1]
+                scores = torch.softmax(logits, dim=-1) * mask
+                samples = torch.argmax(scores, dim=-1, keepdim=True)
+                if i == 0:
+                    next_token_seq = samples
+                    for b in range(batch_size):
+                        if end[b]:
+                            continue
+                        eid = samples[b].item()
+                        if eid == tokenizer.eos_id:
+                            end[b] = True
+                        else:
+                            event_names[b] = tokenizer.id_events[eid]
+                else:
+                    next_token_seq = torch.cat([next_token_seq, samples], dim=1)
+                    if all(len(tokenizer.events[event_names[b]]) == i
+                           for b in range(batch_size) if not end[b]):
+                        break
+            if next_token_seq.shape[1] < t_max:
+                next_token_seq = torch.nn.functional.pad(
+                    next_token_seq, (0, t_max - next_token_seq.shape[1]),
+                    "constant", value=tokenizer.pad_id)
+            input_tensor = torch.cat([input_tensor, next_token_seq.unsqueeze(1)], dim=1)
+            past_len = cur_len
+            cur_len += 1
+            if all(end):
+                break
+    return input_tensor.numpy()
+
+
+def test_greedy_parity_unconditional(setup):
+    cfg, net, net_token, lm_head, params = setup
+    tokenizer = cfg.tokenizer
+    prompt = np.full((2, 1, tokenizer.max_token_seq), tokenizer.pad_id, np.int64)
+    prompt[:, 0, 0] = tokenizer.bos_id
+    max_len = 12
+
+    ref = torch_greedy_generate(cfg, net, net_token, lm_head, prompt, max_len)
+    ours = generate(params, cfg, prompt=prompt, batch_size=2, max_len=max_len,
+                    greedy=True)
+    assert ours.shape[1] <= max_len
+    np.testing.assert_array_equal(ours[:, : ref.shape[1]], ref)
+
+
+def test_greedy_parity_with_prompt(setup):
+    cfg, net, net_token, lm_head, params = setup
+    tokenizer = cfg.tokenizer
+    # a real tokenized prompt: tempo + patches
+    rows = [[tokenizer.bos_id] + [tokenizer.pad_id] * (tokenizer.max_token_seq - 1),
+            tokenizer.event2tokens(["set_tempo", 0, 0, 0, 120]),
+            tokenizer.event2tokens(["patch_change", 0, 0, 1, 0, 0]),
+            tokenizer.event2tokens(["note", 0, 0, 1, 0, 64, 90, 8])]
+    prompt = np.asarray([rows] * 2, dtype=np.int64)
+    max_len = 14
+
+    ref = torch_greedy_generate(cfg, net, net_token, lm_head, prompt, max_len)
+    ours = generate(params, cfg, prompt=prompt, batch_size=2, max_len=max_len,
+                    greedy=True)
+    np.testing.assert_array_equal(ours[:, : ref.shape[1]], ref)
+
+
+def test_chunked_equals_single_dispatch(setup):
+    cfg, _, _, _, params = setup
+    tokenizer = cfg.tokenizer
+    prompt = np.full((2, 1, tokenizer.max_token_seq), tokenizer.pad_id, np.int64)
+    prompt[:, 0, 0] = tokenizer.bos_id
+    a = generate(params, cfg, prompt=prompt, batch_size=2, max_len=10, greedy=True)
+    b = generate(params, cfg, prompt=prompt, batch_size=2, max_len=10, greedy=True,
+                 chunk_size=3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sampled_rows_are_grammatical(setup):
+    cfg, _, _, _, params = setup
+    tokenizer = cfg.tokenizer
+    out = generate(params, cfg, batch_size=3, max_len=16, temp=1.0,
+                   top_p=0.98, top_k=20, seed=5)
+    for b in range(out.shape[0]):
+        for row in out[b, 1:]:  # skip bos
+            row = row.tolist()
+            if row[0] in (tokenizer.eos_id, tokenizer.pad_id):
+                # eos/pad rows must be all-pad after the head
+                assert all(t == tokenizer.pad_id for t in row[1:])
+                continue
+            event = tokenizer.tokens2event(row)
+            assert event, f"ungrammatical row {row}"
+            # trailing positions beyond the param list must be pad
+            n = len(tokenizer.events[event[0]])
+            assert all(t == tokenizer.pad_id for t in row[1 + n:])
+
+
+def test_mask_table_semantics(setup):
+    cfg = setup[0]
+    tokenizer = cfg.tokenizer
+    table = build_mask_table(tokenizer)
+    # step 0: exactly event ids + eos
+    allowed = set(np.nonzero(table.first)[0].tolist())
+    assert allowed == set(tokenizer.event_ids.values()) | {tokenizer.eos_id}
+    # note step 1 = time1 range
+    off = tokenizer.event_ids["note"] - table.first_event_id
+    lo = tokenizer.parameter_ids["time1"][0]
+    hi = tokenizer.parameter_ids["time1"][-1]
+    row = table.steps[off, 1]
+    assert row[lo] and row[hi] and not row[lo - 1] and not row[hi + 1]
+    # beyond the param list: pad only
+    n = len(tokenizer.events["note"])
+    assert table.steps[off, n + 1 :].sum() == 0 or \
+        np.array_equal(np.nonzero(table.steps[off, n + 1] if n + 1 < tokenizer.max_token_seq else table.pad_only)[0], [tokenizer.pad_id])
+    # disabled channels are masked out of channel steps
+    table2 = build_mask_table(tokenizer, disable_channels=[3])
+    ch_step = 1 + tokenizer.events["note"].index("channel")
+    cid = tokenizer.parameter_ids["channel"][3]
+    assert table.steps[off, ch_step, cid]
+    assert not table2.steps[off, ch_step, cid]
