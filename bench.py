@@ -1,0 +1,69 @@
+"""Headline benchmark: batched hierarchical generation throughput on TPU.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "events/sec", "vs_baseline": N}
+
+Config matches BASELINE.json config 3: tv2o-medium, batch 32, 1024 events,
+top-p/top-k sampling, fused two-level KV-cache decode in a single jitted
+dispatch.  ``vs_baseline`` compares against the measured reference throughput
+(see BASELINE.md; reference torch generation loop, same event/token
+factorization).  Weights are random (throughput is weight-independent).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+# Reference numbers measured by tools/bench_reference.py (see BASELINE.md).
+# torch-CPU is the only reference runtime available in this container; the
+# A100 number from BASELINE.json remains TBM.
+REFERENCE_EVENTS_PER_SEC = 6.72  # tv2o-medium, bs=1, torch CPU (BASELINE.md)
+
+BATCH = 32
+MAX_EVENTS = 1024
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from midi_model_tpu.models import MIDIModelConfig, midinet
+    from midi_model_tpu.sampling import build_mask_table, decode_events, prefill
+    from midi_model_tpu.sampling.generate import _mask_arrays, normalize_prompt
+
+    config = MIDIModelConfig.from_name("tv2o-medium")
+    tokenizer = config.tokenizer
+    params = midinet.init_params(jax.random.PRNGKey(0), config, dtype=jnp.bfloat16)
+
+    prompt = jnp.asarray(normalize_prompt(tokenizer, None, BATCH))
+    # eos disabled so random weights run the full event budget (pure
+    # throughput; the reference bench applies the same treatment).
+    masks = _mask_arrays(build_mask_table(tokenizer, disable_eos=True))
+    key = jax.random.PRNGKey(42)
+
+    def run(n_events):
+        state = prefill(params, config, prompt, 1 + MAX_EVENTS)
+        state, rows, n_done = decode_events(
+            params, config, state, masks, n_events, 1.0, 0.98, 20, key)
+        jax.block_until_ready(rows)
+        return int(n_done)
+
+    run(8)  # compile + warmup
+    t0 = time.time()
+    n_done = run(MAX_EVENTS)
+    dt = time.time() - t0
+
+    total_rows = n_done * BATCH
+    events_per_sec = total_rows / dt
+    print(json.dumps({
+        "metric": "tv2o-medium batched generation (bs=32, 1024 events, top-p/k)",
+        "value": round(events_per_sec, 2),
+        "unit": "events/sec",
+        "vs_baseline": round(events_per_sec / REFERENCE_EVENTS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

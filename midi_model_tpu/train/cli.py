@@ -1,0 +1,225 @@
+"""Training CLI — the reference ``train.py`` rebuilt for TPU.
+
+    python -m midi_model_tpu.train.cli --data /path/to/midis --config tv2o-medium
+
+Flag surface mirrors /root/reference/train.py:285-384 (same names where the
+concept carries over); Lightning-specific knobs are replaced by mesh ones
+(``--dp/--tp`` instead of ``--devices/--nodes``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="train the hierarchical MIDI model")
+    p.add_argument("--resume", type=str, default="", help="resume from checkpoint dir")
+    p.add_argument("--ckpt", type=str, default="", help="warm-start weights (.safetensors/.ckpt)")
+    p.add_argument("--config", type=str, default="tv2o-medium",
+                   help="model config name or config.json path")
+    p.add_argument("--task", type=str, default="train", choices=["train", "lora"])
+
+    p.add_argument("--data", type=str, default="data", help="dataset path")
+    p.add_argument("--data-val-split", type=int, default=128)
+    p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument("--quality", action="store_true", default=False)
+
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--warmup-step", type=int, default=100)
+    p.add_argument("--max-step", type=int, default=1_000_000)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--sample-seq", action="store_true", default=False)
+    p.add_argument("--gen-example-interval", type=int, default=1)
+    p.add_argument("--batch-size-train", type=int, default=2)
+    p.add_argument("--batch-size-val", type=int, default=2)
+    p.add_argument("--batch-size-gen-example", type=int, default=8)
+    p.add_argument("--workers-train", type=int, default=4)
+    p.add_argument("--acc-grad", type=int, default=2)
+    p.add_argument("--fp32", action="store_true", default=False,
+                   help="fp32 compute (default bf16 compute, fp32 master)")
+    p.add_argument("--dp", type=int, default=0, help="data-parallel size (0 = all devices)")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--log-step", type=int, default=1)
+    p.add_argument("--val-step", type=int, default=1600)
+    p.add_argument("--out-dir", type=str, default="runs")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import MIDIModelConfig, midinet
+    from ..models.config import CONFIG_NAMES
+    from ..parallel import make_mesh, shard_params
+    from .checkpoint import CheckpointManager
+    from .data import DataLoader, MidiDataset, find_midi_files
+    from .metrics import MetricsWriter
+    from .trainer import (eval_step, init_train_state, loss_fn, make_optimizer,
+                          make_train_step)
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    config = (MIDIModelConfig.from_name(args.config)
+              if args.config in CONFIG_NAMES
+              else MIDIModelConfig.from_json_file(args.config))
+    tokenizer = config.tokenizer
+
+    midi_files = find_midi_files(args.data)
+    random.shuffle(midi_files)
+    split = len(midi_files) - args.data_val_split
+    train_files, val_files = midi_files[:split], midi_files[split:]
+    print(f"train: {len(train_files)}  val: {len(val_files)}")
+
+    train_ds = MidiDataset(train_files, tokenizer, max_len=args.max_len,
+                           aug=True, check_quality=args.quality, rand_start=True)
+    val_ds = MidiDataset(val_files, tokenizer, max_len=args.max_len,
+                         aug=False, check_quality=args.quality, rand_start=False)
+    loader = iter(DataLoader(train_ds, args.batch_size_train * args.acc_grad,
+                             workers=args.workers_train, seed=args.seed))
+
+    devices = jax.devices()
+    tp = args.tp
+    dp = args.dp or max(1, len(devices) // tp)
+    mesh = make_mesh(devices[: dp * tp], dp=dp, tp=tp) if dp * tp > 1 else None
+    print(f"devices: {len(devices)}  mesh: data={dp} model={tp}")
+
+    params = midinet.init_params(jax.random.PRNGKey(args.seed), config)
+    if args.ckpt:
+        from ..interop import load_state_dict, params_from_state_dict
+
+        params = params_from_state_dict(load_state_dict(args.ckpt), config)
+        params = jax.tree.map(jnp.asarray, params)
+    elif args.task == "lora":
+        raise ValueError("--ckpt must be set to train lora")
+    if mesh is not None:
+        params = shard_params(params, mesh, config, tp=tp > 1)
+
+    lora = None
+    if args.task == "lora":
+        from ..models import lora as lora_mod
+
+        lora = lora_mod.init_lora(jax.random.PRNGKey(args.seed + 1), params)
+        print("lora adapters initialized (r=64)")
+
+    optimizer = make_optimizer(lr=args.lr, weight_decay=args.weight_decay,
+                               warmup_steps=args.warmup_step,
+                               total_steps=args.max_step,
+                               grad_clip=args.grad_clip)
+    compute_dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    step_fn = make_train_step(config, optimizer, accum_steps=args.acc_grad,
+                              compute_dtype=compute_dtype, mesh=mesh,
+                              tp=tp > 1)
+    state = init_train_state(params, optimizer)
+
+    ckpt_dir = os.path.join(args.out_dir, "checkpoints")
+    mgr = CheckpointManager(ckpt_dir, config)
+    if args.resume:
+        state = mgr.restore(state)
+        print(f"resumed from step {int(state.step)}")
+    writer = MetricsWriter(os.path.join(args.out_dir, "logs"))
+
+    from .sched import linear_warmup_decay
+
+    schedule = linear_warmup_decay(args.lr, args.warmup_step, args.max_step)
+
+    best_val = float("inf")
+    t0 = time.time()
+    tokens_per_batch = (args.batch_size_train * args.acc_grad * args.max_len
+                        * tokenizer.max_token_seq)
+    while int(state.step) < args.max_step:
+        batch = next(loader)
+        batch = batch.reshape(args.acc_grad, args.batch_size_train,
+                              *batch.shape[1:])
+        state, metrics = step_fn(state, jnp.asarray(batch))
+        step = int(state.step)
+        if step % args.log_step == 0:
+            dt = time.time() - t0
+            t0 = time.time()
+            writer.log(step, {
+                "train/loss": float(metrics["loss"]),
+                "train/lr": float(schedule(step)),
+                "train/tokens_per_sec": tokens_per_batch / max(dt, 1e-9),
+            })
+        if args.val_step and step % args.val_step == 0:
+            val_metrics = run_validation(
+                eval_step, state.params, config, val_ds, args.batch_size_val,
+                args.max_len)
+            writer.log(step, {f"val/{k}": v for k, v in val_metrics.items()})
+            mgr.save(step, state, metrics=val_metrics)
+            if val_metrics["loss"] < best_val:
+                best_val = val_metrics["loss"]
+                mgr.export_safetensors(state.params)
+            gen_examples(state.params, config, val_ds, args, step)
+    writer.close()
+
+
+def run_validation(eval_step, params, config, val_ds, batch_size, max_len,
+                   max_batches: int = 16):
+    import jax.numpy as jnp
+
+    losses, accs = [], []
+    idx = 0
+    for _ in range(max_batches):
+        items = []
+        for _ in range(batch_size):
+            if idx >= len(val_ds):
+                break
+            items.append(val_ds[idx])
+            idx += 1
+        if not items:
+            break
+        batch = val_ds.collate(items, pad_to=max_len)
+        m = eval_step(params, config, jnp.asarray(batch))
+        losses.append(float(m["loss"]))
+        accs.append(float(m["acc"]))
+    if not losses:
+        return {"loss": float("nan"), "acc": float("nan")}
+    return {"loss": float(np.mean(losses)), "acc": float(np.mean(accs))}
+
+
+def gen_examples(params, config, val_ds, args, step):
+    """Sample + piano-roll dump at each checkpoint (ref gen_example,
+    train.py:208-232). Failures are non-fatal, like the reference."""
+    try:
+        from ..midi import score2midi
+        from ..sampling import generate
+
+        if args.gen_example_interval <= 0:
+            return
+        out_dir = os.path.join(args.out_dir, "sample", str(step))
+        os.makedirs(out_dir, exist_ok=True)
+        tokenizer = config.tokenizer
+        outs = generate(params, config, batch_size=args.batch_size_gen_example,
+                        max_len=256, seed=step)
+        for i, seq in enumerate(outs):
+            score = tokenizer.detokenize([list(r) for r in seq])
+            with open(os.path.join(out_dir, f"0_{i}.mid"), "wb") as f:
+                f.write(score2midi(score))
+            tokenizer.midi2img(score).save(os.path.join(out_dir, f"0_{i}.png"))
+        if len(val_ds):
+            prompt = np.asarray(val_ds.load_midi(
+                random.randint(0, len(val_ds) - 1)), dtype=np.int64)[:256]
+            outs = generate(params, config, prompt=prompt,
+                            batch_size=args.batch_size_gen_example,
+                            max_len=512, seed=step)
+            for i, seq in enumerate(outs):
+                score = tokenizer.detokenize([list(r) for r in seq])
+                with open(os.path.join(out_dir, f"1_{i}.mid"), "wb") as f:
+                    f.write(score2midi(score))
+    except Exception as e:  # sampling problems must not kill training
+        print(f"gen_example failed: {e}")
+
+
+if __name__ == "__main__":
+    main()

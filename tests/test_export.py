@@ -1,0 +1,46 @@
+"""StableHLO export artifact tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from midi_model_tpu.interop.export import export_artifacts, load_artifact
+from midi_model_tpu.models import MIDIModelConfig, midinet
+from midi_model_tpu.models.llama import KVCache
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = MIDIModelConfig.get_config("v2", True, n_layer=4, n_head=4,
+                                     n_embd=64, n_inner=128)
+    params = midinet.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_export_and_reload(setup, tmp_path):
+    cfg, params = setup
+    out = str(tmp_path / "artifacts")
+    manifest = export_artifacts(params, cfg, out, batch_size=1, max_seq=32,
+                                dtype=jnp.float32)
+    assert (tmp_path / "artifacts" / "event_forward.stablehlo").exists()
+    assert (tmp_path / "artifacts" / "token_forward.stablehlo").exists()
+    assert (tmp_path / "artifacts" / "model.safetensors").exists()
+    with open(tmp_path / "artifacts" / "manifest.json") as f:
+        m = json.load(f)
+    assert m["functions"]["event_forward"]["cache_seq"] == 32
+
+    # the deserialized artifact computes the same hidden as the live model
+    fn = load_artifact(str(tmp_path / "artifacts" / "event_forward.stablehlo"))
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.tokenizer.vocab_size, (1, 1, 8)), jnp.int32)
+    cache = KVCache.zeros(cfg.net, 1, 32, jnp.float32)
+    hidden, ck, cv, idx = fn.call(params, tokens, cache.k, cache.v, cache.index)
+
+    ref_hidden, ref_cache = midinet.forward(params, cfg, tokens, cache=cache)
+    np.testing.assert_allclose(np.asarray(hidden), np.asarray(ref_hidden),
+                               atol=1e-5)
+    assert int(idx) == 1

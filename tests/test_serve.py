@@ -1,0 +1,69 @@
+"""Serving core tests (headless: no gradio / fluidsynth needed)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from midi_model_tpu.models import MIDIModelConfig, midinet
+from midi_model_tpu.serve import GenerationRequest, MidiGenerationService
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = MIDIModelConfig.get_config("v2", True, n_layer=4, n_head=4,
+                                     n_embd=64, n_inner=128)
+    params = midinet.init_params(jax.random.PRNGKey(0), cfg)
+    return MidiGenerationService(params, cfg, batch_size=2, chunk_size=4)
+
+
+def test_custom_prompt_rows(service):
+    req = GenerationRequest(instruments=["Acoustic Grand", "Violin"],
+                            drum_kit="Standard", bpm=120,
+                            time_signature="3/4", key_signature=15)
+    rows, disable_patch, disable_channels = service.custom_prompt(req)
+    tok = service.tokenizer
+    assert rows[0][0] == tok.bos_id
+    events = [tok.tokens2event(r) for r in rows[1:]]
+    names = [e[0] for e in events]
+    assert names[:3] == ["time_signature", "key_signature", "set_tempo"]
+    assert names.count("patch_change") == 3  # 2 instruments + drums
+    assert disable_patch
+    # channels 0,1 (instruments) and 9 (drums) stay enabled
+    assert set(range(16)) - set(disable_channels) == {0, 1, 9}
+
+
+def test_midi_prompt(service):
+    import pickle
+    from pathlib import Path
+
+    with open(Path(__file__).parent / "golden" / "codec.pkl", "rb") as f:
+        goldens = pickle.load(f)
+    data = goldens["rand_00"]["bytes"]
+    req = GenerationRequest(midi_bytes=data, midi_events=16)
+    rows = service.midi_prompt(req)
+    assert 0 < len(rows) <= 16
+    assert rows[0][0] == service.tokenizer.bos_id
+
+
+def test_streaming_run_and_finish(service, tmp_path):
+    req = GenerationRequest(gen_events=6, seed=3, bpm=100)
+    chunks = list(service.run(req))
+    assert chunks, "no streamed chunks"
+    total = sum(c.shape[1] for c in chunks)
+    assert 0 < total <= 6
+    assert all(c.shape[0] == 2 for c in chunks)
+
+    paths = service.finish(service.last_output, out_dir=str(tmp_path))
+    assert len(paths) == 2
+    from midi_model_tpu.midi import midi2score
+
+    for p in paths:
+        with open(p, "rb") as f:
+            score = midi2score(f.read())
+        assert score[0] == 480  # detokenize emits fixed 480 tpq
+
+
+def test_render_audio_without_synth(service):
+    out = service.render_audio([np.zeros((4, 8), np.int64)])
+    assert out == [None]  # no soundfont configured -> graceful no-op
