@@ -42,6 +42,13 @@ __all__ = [
     "midi2ms_score",
 ]
 
+
+def _native_codec():
+    """The optional C++ decoder (midi_model_tpu/native/midicodec.cpp)."""
+    from ..native import native_codec
+
+    return native_codec()
+
 # Meta-event command byte -> event name for fixed-layout metas handled specially.
 _TEXT_META_NAMES = {
     0x01: "text_event",
@@ -216,7 +223,17 @@ def midi2opus(midi: bytes = b"") -> list:
 
     Parity: reference midi2opus (/root/reference/MIDI.py:304-343), including its
     graceful handling of malformed headers/tracks (returns partial results).
+
+    Dispatches to the native C++ decoder when built (midi_model_tpu.native);
+    the python path below is the always-available reference implementation.
     """
+    native = _native_codec()
+    if native is not None:
+        return native.midi2opus(bytes(midi))
+    return _py_midi2opus(midi)
+
+
+def _py_midi2opus(midi: bytes = b"") -> list:
     data = bytes(midi)
     if len(data) < 14 or data[:4] != b"MThd":
         return [1000, []]
@@ -245,6 +262,13 @@ def opus2score(opus: Optional[list] = None) -> list:
     - a fused note is emitted at the position of its note_off in the stream;
     - unterminated notes are closed at the final track time and appended last.
     """
+    native = _native_codec()
+    if native is not None and isinstance(opus, list) and len(opus) >= 2:
+        return native.opus2score(opus)
+    return _py_opus2score(opus)
+
+
+def _py_opus2score(opus: Optional[list] = None) -> list:
     if opus is None or len(opus) < 2:
         return [1000, []]
     score: list = [int(opus[0])]
@@ -278,7 +302,10 @@ def opus2score(opus: Optional[list] = None) -> list:
 
 def midi2score(midi: bytes = b"") -> list:
     """MIDI bytes -> score. Parity: reference midi2score (MIDI.py:398)."""
-    return opus2score(midi2opus(midi))
+    native = _native_codec()
+    if native is not None:
+        return native.midi2score(bytes(midi))
+    return _py_opus2score(_py_midi2opus(midi))
 
 
 def score2opus(score: Optional[list] = None) -> list:

@@ -109,24 +109,17 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _attention(q, k, v, mask_bias):
+def _attention(q, k, v, mask_bias, cached: bool):
     """q: [B,S,H,Dh]; k,v: [B,T,Hkv,Dh]; mask_bias: [B or 1, 1, S, T] additive.
 
-    fp32 score accumulation + fp32 softmax (HF parity); MXU-friendly einsums.
+    Dispatches through ops.attention: XLA einsum with fp32 softmax (HF
+    parity), or the Pallas flash kernel for long cacheless (training)
+    sequences on TPU.
     """
-    b, s, h, dh = q.shape
-    hkv = k.shape[2]
-    if hkv != h:  # GQA: expand kv heads
-        k = jnp.repeat(k, h // hkv, axis=2)
-        v = jnp.repeat(v, h // hkv, axis=2)
-    scale = dh**-0.5
-    scores = jnp.einsum("bshd,bthd->bhst", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    scores = scores + mask_bias
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhst,bthd->bshd", probs, v,
-                     preferred_element_type=jnp.float32).astype(q.dtype)
-    return out
+    from ..ops.attention import attention as attn_dispatch
+
+    return attn_dispatch(q, k, v, mask_bias, causal_full=not cached,
+                         cached=cached)
 
 
 def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
@@ -159,7 +152,8 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
         v = jax.lax.dynamic_index_in_dim(cv_all, li, axis=0, keepdims=False)
         new_cache = (ck_all, cv_all)
 
-    attn = _attention(q, k, v, mask_bias).reshape(b, s, h * dh)
+    attn = _attention(q, k, v, mask_bias,
+                      cached=cache_kv is not None).reshape(b, s, h * dh)
     x = x + attn @ lp["wo"]
 
     hmlp = rms_norm(x, lp["ln_mlp"], eps)
