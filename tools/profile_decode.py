@@ -5,6 +5,7 @@ measurement chains iterations through a data dependency and syncs by fetching
 a scalar to host.
 """
 
+import functools
 import sys
 import time
 from pathlib import Path
@@ -34,7 +35,7 @@ def main():
     cache = cache._replace(index=jnp.asarray(0, jnp.int32))
     row = jnp.zeros((B, 1, tok.max_token_seq), jnp.int32)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=('n',))
     def event_step_chain(params, row, cache, n):
         def body(c, _):
             emb = midinet.embed_events(params, row)
@@ -54,7 +55,7 @@ def main():
     cache2 = KVCache.zeros(config.net_token, B, tok.max_token_seq, jnp.bfloat16)
     hid = jnp.zeros((B, 1, config.n_embd), jnp.bfloat16)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=('n',))
     def token_step_chain(params, hid, cache2, n):
         def body(c, _):
             h, c = llama.forward(params["net_token"], config.net_token, hid, cache=c)
@@ -73,7 +74,7 @@ def main():
     logits = jnp.zeros((B, tok.vocab_size), jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=('n',))
     def sample_chain(logits, key, n):
         def body(k, _):
             k, sub = jax.random.split(k)
