@@ -38,11 +38,25 @@ def _event_forward(config):
     return fn
 
 
-def _token_forward(config):
-    def fn(params, hidden, row_prefix, cache_k, cache_v, cache_index):
+def _token_first(config):
+    """Step 0 of a row: the event hidden state is the whole input sequence."""
+
+    def fn(params, hidden, cache_k, cache_v, cache_index):
         cache = KVCache(cache_k, cache_v, cache_index)
         logits, new_cache = midinet.forward_token(
-            params, config, hidden, row_prefix, cache=cache)
+            params, config, hidden, None, cache=cache)
+        return logits, new_cache.k, new_cache.v, new_cache.index
+
+    return fn
+
+
+def _token_next(config):
+    """Steps 1..T-1: one sampled token id, continuing from the cache."""
+
+    def fn(params, token, cache_k, cache_v, cache_index):
+        cache = KVCache(cache_k, cache_v, cache_index)
+        logits, new_cache = midinet.forward_token(
+            params, config, None, token, cache=cache)
         return logits, new_cache.k, new_cache.v, new_cache.index
 
     return fn
@@ -82,20 +96,28 @@ def export_artifacts(params, config: MIDIModelConfig, out_dir: str,
     manifest["functions"]["event_forward"] = {
         "tokens": [batch_size, 1, t_max], "cache_seq": max_seq}
 
-    # token net step
+    # token net steps (first = hidden-conditioned, next = token-conditioned)
     tok_cache = KVCache.zeros(config.net_token, batch_size, t_max, dtype)
-    tok_args = (
+    first_args = (
         shapes_of(cparams),
         jax.ShapeDtypeStruct((batch_size, config.n_embd), dtype),
+        shapes_of(tok_cache.k), shapes_of(tok_cache.v),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    )
+    exported = jexport.export(jax.jit(_token_first(config)))(*first_args)
+    with open(os.path.join(out_dir, "token_first.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+    next_args = (
+        shapes_of(cparams),
         jax.ShapeDtypeStruct((batch_size, 1), jnp.int32),
         shapes_of(tok_cache.k), shapes_of(tok_cache.v),
         jax.ShapeDtypeStruct((), jnp.int32),
     )
-    exported = jexport.export(jax.jit(_token_forward(config)))(*tok_args)
-    with open(os.path.join(out_dir, "token_forward.stablehlo"), "wb") as f:
+    exported = jexport.export(jax.jit(_token_next(config)))(*next_args)
+    with open(os.path.join(out_dir, "token_next.stablehlo"), "wb") as f:
         f.write(exported.serialize())
-    manifest["functions"]["token_forward"] = {
-        "row_prefix": [batch_size, 1], "cache_seq": t_max}
+    manifest["functions"]["token_first"] = {"cache_seq": t_max}
+    manifest["functions"]["token_next"] = {"cache_seq": t_max}
 
     # weights + config
     from .torch_ckpt import save_safetensors

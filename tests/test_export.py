@@ -26,8 +26,8 @@ def test_export_and_reload(setup, tmp_path):
     out = str(tmp_path / "artifacts")
     manifest = export_artifacts(params, cfg, out, batch_size=1, max_seq=32,
                                 dtype=jnp.float32)
-    assert (tmp_path / "artifacts" / "event_forward.stablehlo").exists()
-    assert (tmp_path / "artifacts" / "token_forward.stablehlo").exists()
+    for name in ("event_forward", "token_first", "token_next"):
+        assert (tmp_path / "artifacts" / f"{name}.stablehlo").exists()
     assert (tmp_path / "artifacts" / "model.safetensors").exists()
     with open(tmp_path / "artifacts" / "manifest.json") as f:
         m = json.load(f)
@@ -44,3 +44,21 @@ def test_export_and_reload(setup, tmp_path):
     np.testing.assert_allclose(np.asarray(hidden), np.asarray(ref_hidden),
                                atol=1e-5)
     assert int(idx) == 1
+
+
+def test_artifact_generation_matches_jitted_greedy(setup, tmp_path):
+    """Config-5 export parity: the host-driven artifact loop reproduces the
+    fused jitted loop token-for-token under greedy decoding."""
+    from midi_model_tpu.sampling import generate
+    from midi_model_tpu.serve.artifact_runner import ArtifactGenerator
+
+    cfg, params = setup
+    out = str(tmp_path / "artifacts")
+    export_artifacts(params, cfg, out, batch_size=1, max_seq=32,
+                     dtype=jnp.float32)
+    gen = ArtifactGenerator(out)
+    max_len = 10
+    art = gen.generate(max_len=max_len, greedy=True)
+    ref = generate(params, cfg, batch_size=1, max_len=max_len, greedy=True)
+    n = min(art.shape[1], ref.shape[1])
+    np.testing.assert_array_equal(art[0, :n], ref[0, :n])
