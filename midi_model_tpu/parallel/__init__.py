@@ -9,6 +9,7 @@ from .mesh import (
     param_specs,
     replicated,
     shard_params,
+    shard_train_state,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "param_specs",
     "replicated",
     "shard_params",
+    "shard_train_state",
 ]

@@ -90,3 +90,23 @@ def shard_params(params, mesh: Mesh, config: MIDIModelConfig, tp: bool = True):
     """Place a parameter pytree onto the mesh with TP shardings."""
     shardings = param_shardings(mesh, config, tp)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_train_state(state, mesh: Mesh, config: MIDIModelConfig,
+                      tp: bool = True):
+    """Place a TrainState onto the mesh: params by their TP specs, optimizer
+    state / step replicated.  Keeps every leaf's committed devices consistent
+    so jit never sees mixed placements (e.g. after a checkpoint restore)."""
+    pshard = param_shardings(mesh, config, tp)
+    rep = replicated(mesh)
+
+    params = jax.tree.map(jax.device_put, state.params, pshard)
+
+    def put_opt(leaf):
+        # Adam moments mirror param shapes; match them to param shardings by
+        # shape when possible, otherwise replicate.
+        return jax.device_put(leaf, rep)
+
+    opt_state = jax.tree.map(put_opt, state.opt_state)
+    step = jax.device_put(state.step, rep)
+    return type(state)(step=step, params=params, opt_state=opt_state)

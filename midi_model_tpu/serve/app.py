@@ -161,6 +161,38 @@ class MidiGenerationService:
             yield c
         self.last_output = out
 
+    # ---- continuation / undo (ref app.py:194-206, :282-296) --------------
+
+    def continue_run(self, req: GenerationRequest, mid_seq,
+                     continuation_state: list, select: int = 0):
+        """Continue generating from a previous output.
+
+        ``select`` 0 continues every batch row from its own output; 1..B
+        continues everyone from that single output.  ``continuation_state``
+        is the undo stack: it records either the previous row count (select
+        0) or the full previous sequences (select > 0).
+        """
+        mid = np.asarray(mid_seq, dtype=np.int64)
+        if select > 0:
+            continuation_state.append([list(map(list, s)) for s in mid_seq])
+            mid = np.repeat(mid[select - 1: select], repeats=self.batch_size,
+                            axis=0)
+        else:
+            continuation_state.append(mid.shape[1])
+        yield from self.run(req, prompt_rows=mid)
+
+    @staticmethod
+    def undo_continuation(mid_seq, continuation_state: list):
+        """Pop the undo stack (ref app.py:282-296)."""
+        if mid_seq is None or len(continuation_state) < 2:
+            return mid_seq, continuation_state
+        last = continuation_state[-1]
+        if isinstance(last, list):
+            mid_seq = last
+        else:
+            mid_seq = [seq[:last] for seq in mid_seq]
+        return mid_seq, continuation_state[:-1]
+
     def finish(self, sequences, out_dir: str = "outputs") -> List[str]:
         """Detokenize each batch row and write .mid files (ref :240-257)."""
         os.makedirs(out_dir, exist_ok=True)

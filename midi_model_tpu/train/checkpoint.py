@@ -59,8 +59,18 @@ class CheckpointManager:
         step = step if step is not None else self.manager.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        return self.manager.restore(
+        restored = self.manager.restore(
             step, args=self._ocp.args.StandardRestore(state_template))
+
+        # Re-place leaves on the template's shardings: orbax may restore to
+        # the default device, which breaks jit when the template is
+        # mesh-sharded (mixed committed devices).
+        def replace(t, r):
+            if hasattr(t, "sharding") and hasattr(r, "shape"):
+                return jax.device_put(r, t.sharding)
+            return r
+
+        return jax.tree.map(replace, state_template, restored)
 
     def export_safetensors(self, params: Any, path: Optional[str] = None,
                            dtype=np.float32) -> str:

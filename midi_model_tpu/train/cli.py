@@ -60,7 +60,7 @@ def main(argv=None):
 
     from ..models import MIDIModelConfig, midinet
     from ..models.config import CONFIG_NAMES
-    from ..parallel import make_mesh, shard_params
+    from ..parallel import make_mesh, shard_params, shard_train_state
     from .checkpoint import CheckpointManager
     from .data import DataLoader, MidiDataset, find_midi_files
     from .metrics import MetricsWriter
@@ -121,6 +121,8 @@ def main(argv=None):
                               compute_dtype=compute_dtype, mesh=mesh,
                               tp=tp > 1)
     state = init_train_state(params, optimizer)
+    if mesh is not None:
+        state = shard_train_state(state, mesh, config, tp=tp > 1)
 
     ckpt_dir = os.path.join(args.out_dir, "checkpoints")
     mgr = CheckpointManager(ckpt_dir, config)
@@ -132,6 +134,20 @@ def main(argv=None):
     from .sched import linear_warmup_decay
 
     schedule = linear_warmup_decay(args.lr, args.warmup_step, args.max_step)
+
+    # Preemption resilience (standard on TPU): SIGTERM/SIGINT request a
+    # checkpoint at the next step boundary, then exit cleanly; --resume
+    # restarts from it.  (The reference has no preemption handling.)
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        print(f"signal {signum}: checkpointing and stopping")
+        stop_requested["flag"] = True
+
+    signal.signal(signal.SIGTERM, _request_stop)
+    signal.signal(signal.SIGINT, _request_stop)
 
     best_val = float("inf")
     t0 = time.time()
@@ -161,6 +177,11 @@ def main(argv=None):
                 best_val = val_metrics["loss"]
                 mgr.export_safetensors(state.params)
             gen_examples(state.params, config, val_ds, args, step)
+        if stop_requested["flag"]:
+            mgr.save(step, state)
+            print(f"checkpointed at step {step}; exiting on signal")
+            break
+    mgr.wait()  # flush async checkpoint writes before returning
     writer.close()
 
 

@@ -45,8 +45,9 @@ def main():
         c, hs = jax.lax.scan(body, cache, None, length=n)
         return hs.sum()
 
-    # warm + measure via host fetch
-    float(event_step_chain(params, row, cache, 2))
+    # warm + measure via host fetch (same n: scan length is baked into the
+    # compiled program, so warmup must compile the exact timed program)
+    float(event_step_chain(params, row, cache, N))
     t0 = time.time()
     float(event_step_chain(params, row, cache, N))
     t_event = (time.time() - t0) / N * 1000
@@ -65,7 +66,7 @@ def main():
         c, ls = jax.lax.scan(body, cache2, None, length=n)
         return ls.sum()
 
-    float(token_step_chain(params, hid, cache2, 2))
+    float(token_step_chain(params, hid, cache2, N))
     t0 = time.time()
     float(token_step_chain(params, hid, cache2, N))
     t_token = (time.time() - t0) / N * 1000
@@ -84,7 +85,7 @@ def main():
         k, ts = jax.lax.scan(body, key, None, length=n)
         return ts.sum()
 
-    float(sample_chain(logits, key, 2))
+    float(sample_chain(logits, key, N))
     t0 = time.time()
     float(sample_chain(logits, key, N))
     t_sample = (time.time() - t0) / N * 1000
