@@ -137,23 +137,37 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
     k = apply_rope(k, cos, sin)
 
     new_cache = None
+    fused_out = None
     if cache_kv is not None:
         # cache_kv = (full k cache, full v cache, layer index); the caller
         # carries the [L, B, T, Hkv, Dh] buffers through the layer scan so
         # only the new tokens are written (in-place on the loop carry) —
         # restacking the whole cache as scan outputs would double the HBM
         # traffic of every decode step.
+        from ..ops.attention import use_pallas_decode
+
         ck_all, cv_all, li = cache_kv
         ck_all = jax.lax.dynamic_update_slice(
             ck_all, k[None], (li, 0, cache_index, 0, 0))
         cv_all = jax.lax.dynamic_update_slice(
             cv_all, v[None], (li, 0, cache_index, 0, 0))
-        k = jax.lax.dynamic_index_in_dim(ck_all, li, axis=0, keepdims=False)
-        v = jax.lax.dynamic_index_in_dim(cv_all, li, axis=0, keepdims=False)
         new_cache = (ck_all, cv_all)
+        if use_pallas_decode(s, ck_all.shape[2], h, hkv):
+            # fused flash-style decode attention straight off the cache —
+            # no per-layer slice materialization; reads stop at valid length
+            from ..ops.decode_attention import decode_attention
 
-    attn = _attention(q, k, v, mask_bias,
-                      cached=cache_kv is not None).reshape(b, s, h * dh)
+            fused_out = decode_attention(
+                q[:, 0], ck_all, cv_all, li, cache_index + 1)[:, None]
+        else:
+            k = jax.lax.dynamic_index_in_dim(ck_all, li, axis=0, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(cv_all, li, axis=0, keepdims=False)
+
+    if fused_out is not None:
+        attn = fused_out.reshape(b, s, h * dh)
+    else:
+        attn = _attention(q, k, v, mask_bias,
+                          cached=cache_kv is not None).reshape(b, s, h * dh)
     x = x + attn @ lp["wo"]
 
     hmlp = rms_norm(x, lp["ln_mlp"], eps)

@@ -53,6 +53,32 @@ def _use_flash(s: int, cached: bool) -> bool:
     return _on_tpu() and s >= _FLASH_MIN_SEQ
 
 
+_DECODE_BACKEND = "auto"
+
+
+def set_decode_backend(name: str):
+    """Decode-attention backend: auto | xla | pallas."""
+    global _DECODE_BACKEND
+    if name not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown decode backend {name}")
+    global _DECODE_BACKEND_
+    _DECODE_BACKEND = name
+
+
+def use_pallas_decode(q_len: int, cache_len: int, h: int, hkv: int) -> bool:
+    """Gate for the fused Pallas decode-attention kernel (single-token decode
+    over a block-aligned cache, no GQA expansion)."""
+    from .decode_attention import S_BLK
+
+    if _DECODE_BACKEND == "xla":
+        return False
+    if q_len != 1 or h != hkv or cache_len % S_BLK:
+        return False
+    if _DECODE_BACKEND == "pallas":
+        return True
+    return _on_tpu()
+
+
 def xla_attention(q, k, v, mask_bias):
     """q: [B,S,H,Dh]; k,v: [B,T,Hkv,Dh]; mask_bias additive [.,1,S,T]."""
     b, s, h, dh = q.shape

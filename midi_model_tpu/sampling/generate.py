@@ -55,7 +55,13 @@ def _mask_arrays(table: MaskTable):
 @functools.partial(jax.jit, static_argnames=("config", "max_seq"))
 def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
             ) -> GenState:
-    """Run the event net over the prompt rows, filling the event cache."""
+    """Run the event net over the prompt rows, filling the event cache.
+
+    The cache is over-allocated to a multiple of the fused decode kernel's
+    block size so the Pallas path stays eligible (tail is masked)."""
+    from ..ops.decode_attention import S_BLK
+
+    max_seq = ((max_seq + S_BLK - 1) // S_BLK) * S_BLK
     b = prompt.shape[0]
     dtype = params["lm_head"].dtype
     cache = KVCache.zeros(config.net, b, max_seq, dtype=dtype)
