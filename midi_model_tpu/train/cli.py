@@ -47,6 +47,9 @@ def parse_args(argv=None):
                    help="fp32 compute (default bf16 compute, fp32 master)")
     p.add_argument("--dp", type=int, default=0, help="data-parallel size (0 = all devices)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--multihost", action="store_true", default=False,
+                   help="initialize jax.distributed (multi-host DCN training; "
+                        "coordinator/process env via TPU metadata or JAX_* vars)")
     p.add_argument("--log-step", type=int, default=1)
     p.add_argument("--val-step", type=int, default=1600)
     p.add_argument("--out-dir", type=str, default="runs")
@@ -66,6 +69,14 @@ def main(argv=None):
     from .metrics import MetricsWriter
     from .trainer import (eval_step, init_train_state, loss_fn, make_optimizer,
                           make_train_step)
+
+    if args.multihost:
+        # Multi-host data parallelism over DCN: every host runs this same
+        # process; jax.distributed wires the global device view, and the
+        # (data, model) mesh then spans all hosts (XLA routes the gradient
+        # all-reduce hierarchically: ICI within a slice, DCN across).
+        jax.distributed.initialize()
+        print(f"process {jax.process_index()}/{jax.process_count()}")
 
     random.seed(args.seed)
     np.random.seed(args.seed)
