@@ -39,7 +39,6 @@ def _make_kernel(h: int, d: int):
     hd = h * d
 
     def kernel(li_ref, vl_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
-        bi = pl.program_id(0)
         j = pl.program_id(1)
         n_blocks = pl.num_programs(1)
         valid_len = vl_ref[0]
@@ -52,19 +51,23 @@ def _make_kernel(h: int, d: int):
 
         block_start = j * S_BLK
 
+        def head_selector(dtype):
+            """[H, HD] 0/1 matrix: row c is 1 on head c's lane span."""
+            col_head = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1) // d
+            row_idx = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
+            return jnp.where(col_head == row_idx,
+                             jnp.ones((), dtype), jnp.zeros((), dtype))
+
         @pl.when(block_start < valid_len)
         def _compute():
             scale = d**-0.5
             k_flat = k_ref[0, 0]  # [S_BLK, HD]
             v_flat = v_ref[0, 0]  # [S_BLK, HD]
-            q_row = q_ref[pl.ds(bi, 1), :]  # [1, HD] (q block = full array)
+            q_row = q_ref[0]  # [1, HD]
+            sel = head_selector(k_flat.dtype)  # [H, HD]
 
             # Qdiag^T [H, HD]: row c carries q's head-c slice, zero elsewhere.
-            col_head = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1) // d
-            row_idx = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
-            q_diag_t = jnp.where(col_head == row_idx,
-                                 jnp.broadcast_to(q_row, (h, hd)),
-                                 jnp.zeros((), q_row.dtype))
+            q_diag_t = sel * q_row
             s = jax.lax.dot_general(
                 k_flat, q_diag_t, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # [S_BLK, H]
@@ -84,13 +87,14 @@ def _make_kernel(h: int, d: int):
             pv_all = jax.lax.dot_general(
                 pt, v_flat, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [H, HD]
-            keep = col_head == row_idx
-            pv = jnp.sum(jnp.where(keep, pv_all, 0.0), axis=0, keepdims=True)
+            self_f32 = head_selector(jnp.float32)
+            pv = jnp.sum(pv_all * self_f32, axis=0, keepdims=True)
             # pv [1, HD]: head hh occupies lanes hh*d..(hh+1)*d
 
-            alpha_wide = jnp.sum(
-                jnp.where(keep, jnp.broadcast_to(alpha.T, (h, hd)), 0.0),
-                axis=0, keepdims=True)  # [1, HD] per-head alpha broadcast
+            # per-head alpha broadcast over its lane span, via one tiny matmul
+            alpha_wide = jax.lax.dot_general(
+                alpha, self_f32, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [1, HD]
             acc_scr[:1, :] = acc_scr[:1, :] * alpha_wide + pv
             m_scr[:1, :h] = m_new
             l_scr[:1, :h] = l_new
@@ -98,13 +102,12 @@ def _make_kernel(h: int, d: int):
         @pl.when(j == n_blocks - 1)
         def _finalize():
             l_row = l_scr[:1, :h]  # [1, H]
-            keep = (jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1) // d ==
-                    jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0))
-            denom = jnp.sum(
-                jnp.where(keep, jnp.broadcast_to(l_row.T, (h, hd)), 0.0),
-                axis=0, keepdims=True)  # [1, HD]
+            denom = jax.lax.dot_general(
+                l_row, head_selector(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [1, HD]
             denom = jnp.maximum(denom, 1e-30)
-            o_ref[pl.ds(bi, 1), :] = (acc_scr[:1, :] / denom).astype(o_ref.dtype)
+            o_ref[0] = (acc_scr[:1, :] / denom).astype(o_ref.dtype)
 
     return kernel
 
@@ -125,15 +128,14 @@ def decode_attention(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
     n_blocks = s // S_BLK
     hd = h * d
 
-    # free reshapes of contiguous trailing dims (layout unchanged)
-    q2 = q.reshape(b, hd)
+    # free reshapes of contiguous trailing dims (layout unchanged); the
+    # inserted singleton axis gives q/out a legal (1, hd) tile per batch row
+    q2 = q.reshape(b, 1, hd)
     k2 = cache_k.reshape(l_n, b, s, hd)
     v2 = cache_v.reshape(l_n, b, s, hd)
 
-    def full_map(bi, j, li_ref, vl_ref):
-        # q/out live in one full-array VMEM block (64 KB); rows are indexed
-        # by program id inside the kernel
-        return (0, 0)
+    def q_map(bi, j, li_ref, vl_ref):
+        return (bi, 0, 0)
 
     def kv_map(bi, j, li_ref, vl_ref):
         # pin out-of-range blocks to the last valid block: Mosaic skips the
@@ -145,11 +147,11 @@ def decode_attention(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
         num_scalar_prefetch=2,
         grid=(b, n_blocks),
         in_specs=[
-            pl.BlockSpec((b, hd), full_map),
+            pl.BlockSpec((1, 1, hd), q_map),
             pl.BlockSpec((1, 1, S_BLK, hd), kv_map),
             pl.BlockSpec((1, 1, S_BLK, hd), kv_map),
         ],
-        out_specs=pl.BlockSpec((b, hd), full_map),
+        out_specs=pl.BlockSpec((1, 1, hd), q_map),
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.float32),  # running max [0, :H]
             pltpu.VMEM((8, 128), jnp.float32),  # running denom [0, :H]
@@ -161,7 +163,7 @@ def decode_attention(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
     out = pl.pallas_call(
         _make_kernel(h, d),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
