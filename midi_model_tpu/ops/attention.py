@@ -53,7 +53,10 @@ def _use_flash(s: int, cached: bool) -> bool:
     return _on_tpu() and s >= _FLASH_MIN_SEQ
 
 
-_DECODE_BACKEND = "auto"
+# Default xla: the measured XLA decode attention runs at ~70% of the HBM
+# roofline on v5e, while the Pallas kernel (kept for future tuning) is
+# currently slower per layer (see tools/perf_experiments.py logs).
+_DECODE_BACKEND = "xla"
 
 
 def set_decode_backend(name: str):
@@ -61,7 +64,6 @@ def set_decode_backend(name: str):
     global _DECODE_BACKEND
     if name not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown decode backend {name}")
-    global _DECODE_BACKEND_
     _DECODE_BACKEND = name
 
 

@@ -52,11 +52,14 @@ def _make_kernel(h: int, d: int):
         block_start = j * S_BLK
 
         def head_selector(dtype):
-            """[H, HD] 0/1 matrix: row c is 1 on head c's lane span."""
+            """[H, HD] 0/1 matrix: row c is 1 on head c's lane span.
+
+            Built with integer arithmetic only — boolean vectors with splat
+            select branches trip Mosaic's relayout inference."""
             col_head = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1) // d
             row_idx = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
-            return jnp.where(col_head == row_idx,
-                             jnp.ones((), dtype), jnp.zeros((), dtype))
+            delta = jnp.abs(col_head - row_idx)
+            return (1 - jnp.minimum(delta, 1)).astype(dtype)
 
         @pl.when(block_start < valid_len)
         def _compute():
