@@ -33,20 +33,24 @@ class KVCache(NamedTuple):
     """Per-stack KV cache: keys/values stacked over layers, plus write index.
 
     Shapes: ``k, v: [num_layers, batch, max_seq, kv_heads, head_dim]``;
-    ``index``: number of tokens already cached (static shape, dynamic value).
+    ``index``: number of tokens already cached — an int32 scalar when every
+    batch row is aligned (training-style decode), or a ``[batch]`` vector for
+    continuous batching where each slot has its own length (single-token
+    decode only).
     """
 
     k: jax.Array
     v: jax.Array
-    index: jax.Array  # int32 scalar
+    index: jax.Array  # int32 scalar or [batch] vector
 
     @staticmethod
-    def zeros(cfg: TransformerConfig, batch: int, max_seq: int, dtype=jnp.float32):
+    def zeros(cfg: TransformerConfig, batch: int, max_seq: int, dtype=jnp.float32,
+              per_row: bool = False):
         shape = (cfg.num_layers, batch, max_seq, cfg.kv_heads, cfg.head_dim)
-        return KVCache(
-            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-            index=jnp.zeros((), jnp.int32),
-        )
+        index = (jnp.zeros((batch,), jnp.int32) if per_row
+                 else jnp.zeros((), jnp.int32))
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                       index=index)
 
 
 def init_transformer_params(key: jax.Array, cfg: TransformerConfig,
@@ -140,19 +144,26 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
     fused_out = None
     if cache_kv is not None:
         # cache_kv = (full k cache, full v cache, layer index); the caller
-        # carries the [L, B, T, Hkv, Dh] buffers through the layer scan so
-        # only the new tokens are written (in-place on the loop carry) —
-        # restacking the whole cache as scan outputs would double the HBM
-        # traffic of every decode step.
+        # carries the [L, B, T, Hkv, Dh] buffers so only the new tokens are
+        # written in place — restacking the whole cache as loop outputs would
+        # double the HBM traffic of every decode step.
         from ..ops.attention import use_pallas_decode
 
         ck_all, cv_all, li = cache_kv
-        ck_all = jax.lax.dynamic_update_slice(
-            ck_all, k[None], (li, 0, cache_index, 0, 0))
-        cv_all = jax.lax.dynamic_update_slice(
-            cv_all, v[None], (li, 0, cache_index, 0, 0))
+        if getattr(cache_index, "ndim", 0) == 1:
+            # per-row write offsets (continuous batching, s == 1): a sparse
+            # scatter touching exactly B rows
+            rows = jnp.arange(b)
+            ck_all = ck_all.at[li, rows, cache_index].set(k[:, 0])
+            cv_all = cv_all.at[li, rows, cache_index].set(v[:, 0])
+        else:
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k[None], (li, 0, cache_index, 0, 0))
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v[None], (li, 0, cache_index, 0, 0))
         new_cache = (ck_all, cv_all)
-        if use_pallas_decode(s, ck_all.shape[2], h, hkv):
+        if (getattr(cache_index, "ndim", 0) == 0
+                and use_pallas_decode(s, ck_all.shape[2], h, hkv)):
             # fused flash-style decode attention straight off the cache —
             # no per-layer slice materialization; reads stop at valid length
             from ..ops.decode_attention import decode_attention
@@ -195,6 +206,13 @@ def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
         k_pos = positions[None, :]
         bias = jnp.where(k_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
         bias = bias[None, None]  # [1, 1, S, S]
+    elif getattr(cache.index, "ndim", 0) == 1:
+        # continuous batching: per-row cache lengths (single-token decode)
+        positions = cache.index[:, None] + jnp.arange(s)  # [B, S]
+        t = cache.k.shape[2]
+        k_pos = jnp.arange(t)[None, None, :]
+        bias = jnp.where(k_pos <= positions[:, :, None], 0.0, -jnp.inf)
+        bias = bias[:, None].astype(jnp.float32)  # [B, 1, S, T]
     else:
         positions = cache.index + jnp.arange(s)
         t = cache.k.shape[2]

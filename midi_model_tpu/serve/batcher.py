@@ -1,0 +1,284 @@
+"""Continuous-batch serving: per-slot request admission into a running batch.
+
+The reference serves fixed aligned batches (all rows share one prompt and one
+length).  Production serving wants slots: requests arrive at different times
+with different prompts/budgets and leave when done, without ever stalling the
+other slots.  This batcher keeps a fixed ``n_slots``-row decode batch on
+device:
+
+-每 slot has its own KV-cache length (``KVCache.index`` as a [B] vector — see
+  models/llama.py's per-row decode support: per-row rope positions, per-row
+  attention masks, sparse per-row cache writes);
+- prefill runs per request in a padded scratch cache and is spliced into the
+  slot's rows of the shared ring cache in one dynamic-update-slice;
+- one jitted ``_step`` decodes a chunk of events for all slots; inactive
+  slots are pad-masked and their cache length does not advance;
+- the host loop collects rows per slot, retires slots on an eos row or
+  exhausted budget, and immediately reuses them for queued requests.
+
+Grammar masking and sampling semantics match sampling/generate.py exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama, midinet
+from ..models.config import MIDIModelConfig
+from ..models.llama import KVCache
+from ..sampling.generate import _mask_arrays
+from ..sampling.masks import build_mask_table
+from ..sampling.topk_topp import sample_top_p_k
+
+PREFILL_BUCKETS = (16, 64, 256, 1024, 4096)
+
+
+@dataclass
+class _Slot:
+    request_id: int = -1
+    active: bool = False
+    budget: int = 0
+    produced: int = 0
+    rows: List[np.ndarray] = field(default_factory=list)
+
+
+@dataclass
+class Finished:
+    request_id: int
+    rows: np.ndarray  # [n, T] generated rows (prompt excluded)
+    reason: str  # "eos" | "budget"
+
+
+@functools.partial(jax.jit, static_argnames=("config", "bucket"))
+def _prefill_request(params, config: MIDIModelConfig, prompt: jax.Array,
+                     p_len: jax.Array, bucket: int):
+    """Run the event net over one padded prompt; returns (k, v, hidden_last).
+
+    k/v: [L, 1, bucket, H, D] — positions >= p_len contain pad-garbage that the
+    per-row valid length keeps unattended after splicing.
+    """
+    dtype = params["lm_head"].dtype
+    cache = KVCache.zeros(config.net, 1, bucket, dtype=dtype)
+    hidden, cache = midinet.forward(params, config, prompt, cache=cache)
+    h_last = jax.lax.dynamic_index_in_dim(hidden[0], p_len - 1, axis=0,
+                                          keepdims=False)
+    return cache.k, cache.v, h_last
+
+
+@functools.partial(jax.jit, donate_argnums=(2, 3), static_argnames=())
+def _splice_slot(slot, p_len, cache_k, cache_v, hidden_all, index_all,
+                 pre_k, pre_v, h_last):
+    """Install a prefilled request into slot ``slot`` of the shared state."""
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, pre_k, (0, slot, 0, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, pre_v, (0, slot, 0, 0, 0))
+    hidden_all = hidden_all.at[slot].set(h_last)
+    index_all = index_all.at[slot].set(p_len)
+    return cache_k, cache_v, hidden_all, index_all
+
+
+@functools.partial(jax.jit, donate_argnums=(2,),
+                   static_argnames=("config", "chunk", "greedy"))
+def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
+          top_k, key, chunk: int, greedy: bool = False):
+    """Decode ``chunk`` events for all slots (one dispatch).
+
+    carry = (cache_k, cache_v, index [B], hidden [B, D]).
+    Returns (carry, rows [B, chunk, T]).
+    """
+    first, steps_tbl, pad_only = masks
+    tok_cfg = config.net_token
+    t_max = config.tokenizer.max_token_seq
+    dtype = params["lm_head"].dtype
+    eos_id = config.tokenizer.eos_id
+    first_event_id = eos_id + 1
+    n_events = len(config.tokenizer.events)
+    cache_k, cache_v, index, hidden = carry
+    b = hidden.shape[0]
+
+    def one_event(carry, ev_key):
+        cache_k, cache_v, index, hidden = carry
+        cache2 = KVCache.zeros(tok_cfg, b, t_max, dtype=dtype)
+
+        def token_step(tc, xs):
+            cache2, prev_tok, ended, e_off = tc
+            i, step_key = xs
+            inp = jnp.where(
+                (i == 0), hidden.astype(dtype),
+                jnp.take(params["net_token"]["embed"], prev_tok, axis=0),
+            )[:, None, :]
+            h, cache2 = llama.forward(params["net_token"], tok_cfg, inp,
+                                      cache=cache2)
+            logits = midinet.lm_head(params, h[:, 0])
+            probs = jax.nn.softmax(logits / temp, axis=-1)
+            step_mask = steps_tbl[e_off, i]
+            mask = jnp.where(i == 0, first[None, :], step_mask)
+            mask = jnp.where(ended[:, None], pad_only[None, :], mask)
+            mask = jnp.where(active[:, None], mask, pad_only[None, :])
+            probs = probs * mask
+            if greedy:
+                tok = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            else:
+                tok = sample_top_p_k(probs, top_p, top_k, step_key).astype(jnp.int32)
+            is_first = i == 0
+            ended = jnp.where(is_first, tok == eos_id, ended)
+            e_off = jnp.where(is_first,
+                              jnp.clip(tok - first_event_id, 0, n_events - 1),
+                              e_off)
+            return (cache2, tok, ended, e_off), tok
+
+        keys = jax.random.split(ev_key, t_max)
+        init = (cache2, jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool),
+                jnp.zeros((b,), jnp.int32))
+        _, toks = jax.lax.scan(token_step, init, (jnp.arange(t_max), keys))
+        row = toks.T  # [B, T]
+
+        emb = midinet.embed_events(params, row[:, None, :])
+        ev_cache = KVCache(cache_k, cache_v, index)
+        h, ev_cache = llama.forward(params["net"], config.net, emb,
+                                    cache=ev_cache)
+        # only active slots advance / take the new hidden
+        new_index = jnp.where(active, index + 1, index)
+        hidden_new = jnp.where(active[:, None], h[:, 0], hidden)
+        return (ev_cache.k, ev_cache.v, new_index, hidden_new), row
+
+    keys = jax.random.split(key, chunk)
+    carry, rows = jax.lax.scan(one_event, (cache_k, cache_v, index, hidden), keys)
+    return carry, jnp.transpose(rows, (1, 0, 2))
+
+
+class ContinuousBatcher:
+    def __init__(self, params, config: MIDIModelConfig, n_slots: int = 8,
+                 max_seq: int = 4096, chunk: int = 16, temp: float = 1.0,
+                 top_p: float = 0.98, top_k: int = 20, seed: int = 0,
+                 disable_eos: bool = False, greedy: bool = False):
+        self.greedy = greedy
+        self.params = params
+        self.config = config
+        self.tokenizer = config.tokenizer
+        self.n_slots = n_slots
+        self.max_seq = max_seq
+        self.chunk = chunk
+        self.temp, self.top_p, self.top_k = temp, top_p, top_k
+        self.masks = _mask_arrays(build_mask_table(config.tokenizer,
+                                                   disable_eos=disable_eos))
+        dtype = params["lm_head"].dtype
+        cache = KVCache.zeros(config.net, n_slots, max_seq, dtype=dtype,
+                              per_row=True)
+        self._cache_k, self._cache_v = cache.k, cache.v
+        self._index = cache.index
+        self._hidden = jnp.zeros((n_slots, config.n_embd), dtype)
+        self._active = np.zeros((n_slots,), bool)
+        self.slots = [_Slot() for _ in range(n_slots)]
+        self.queue: List[tuple] = []
+        self._key = jax.random.PRNGKey(seed)
+        self._next_id = 0
+
+    # ---- submission ------------------------------------------------------
+
+    def submit(self, prompt_rows, max_events: int) -> int:
+        """Queue a request; returns its request id."""
+        rid = self._next_id
+        self._next_id += 1
+        prompt = np.asarray(prompt_rows, dtype=np.int32)
+        if prompt.ndim != 2:
+            raise ValueError("prompt must be [events, max_token_seq]")
+        self.queue.append((rid, prompt, max_events))
+        self._admit()
+        return rid
+
+    def _admit(self):
+        while self.queue:
+            free = next((i for i, s in enumerate(self.slots) if not s.active), None)
+            if free is None:
+                return
+            rid, prompt, budget = self.queue.pop(0)
+            self._install(free, rid, prompt, budget)
+
+    def _install(self, slot: int, rid: int, prompt: np.ndarray, budget: int):
+        p_len = prompt.shape[0]
+        bucket = next(b for b in PREFILL_BUCKETS if b >= p_len)
+        padded = np.full((1, bucket, self.tokenizer.max_token_seq),
+                         self.tokenizer.pad_id, np.int32)
+        padded[0, :p_len] = prompt
+        pre_k, pre_v, h_last = _prefill_request(
+            self.params, self.config, jnp.asarray(padded),
+            jnp.asarray(p_len, jnp.int32), bucket)
+        (self._cache_k, self._cache_v, self._hidden, self._index) = _splice_slot(
+            jnp.asarray(slot, jnp.int32), jnp.asarray(p_len, jnp.int32),
+            self._cache_k, self._cache_v, self._hidden, self._index,
+            pre_k, pre_v, h_last)
+        s = self.slots[slot]
+        s.request_id = rid
+        s.active = True
+        s.budget = budget
+        s.produced = 0
+        s.rows = []
+        self._active[slot] = True
+
+    # ---- decoding --------------------------------------------------------
+
+    @property
+    def any_active(self) -> bool:
+        return bool(self._active.any()) or bool(self.queue)
+
+    def step(self) -> List[Finished]:
+        """Decode one chunk for all active slots; returns finished requests."""
+        if not self._active.any():
+            self._admit()
+            if not self._active.any():
+                return []
+        self._key, sub = jax.random.split(self._key)
+        carry = (self._cache_k, self._cache_v, self._index, self._hidden)
+        carry, rows = _step(self.params, self.config, carry, self.masks,
+                            jnp.asarray(self._active), self.temp, self.top_p,
+                            self.top_k, sub, self.chunk, self.greedy)
+        (self._cache_k, self._cache_v, self._index, self._hidden) = carry
+        rows = np.asarray(rows)  # [B, chunk, T]
+
+        finished: List[Finished] = []
+        eos_id = self.tokenizer.eos_id
+        for b, slot in enumerate(self.slots):
+            if not slot.active:
+                continue
+            for n in range(rows.shape[1]):
+                row = rows[b, n]
+                done_reason = None
+                if row[0] == eos_id:
+                    done_reason = "eos"
+                else:
+                    slot.rows.append(row)
+                    slot.produced += 1
+                    if slot.produced >= slot.budget:
+                        done_reason = "budget"
+                # cache overflow guard
+                if done_reason is None and int(self._index[b]) >= self.max_seq - 1:
+                    done_reason = "budget"
+                if done_reason:
+                    finished.append(Finished(
+                        request_id=slot.request_id,
+                        rows=(np.stack(slot.rows) if slot.rows
+                              else np.zeros((0, rows.shape[2]), np.int32)),
+                        reason=done_reason))
+                    slot.active = False
+                    self._active[b] = False
+                    break
+        self._admit()
+        return finished
+
+    def run_all(self, max_steps: int = 10_000) -> Dict[int, Finished]:
+        """Drive until every submitted request finishes."""
+        results: Dict[int, Finished] = {}
+        for _ in range(max_steps):
+            if not self.any_active:
+                break
+            for fin in self.step():
+                results[fin.request_id] = fin
+        return results
