@@ -232,15 +232,19 @@ def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
         x, _ = jax.lax.scan(body, x, lp)
         new_cache = None
     else:
-        # Unrolled layer loop: with a static layer index every cache access is
-        # a zero-copy view (the scan version's dynamic per-layer indexing cost
-        # a full cache-slice materialization per layer, ~3x the decode step).
-        ck_all, cv_all = cache.k, cache.v
-        for li in range(cfg.num_layers):
-            layer_params = jax.tree.map(lambda a: a[li], lp)
-            x, (ck_all, cv_all) = _layer(x, layer_params, cfg, cos, sin, bias,
-                                         (ck_all, cv_all, li), cache.index)
-        new_cache = KVCache(k=ck_all, v=cv_all, index=cache.index + s)
+        # Layer scan with the cache carried whole and indexed per layer.
+        # (Measured on v5e: this beats a python-unrolled layer loop in the
+        # full decode loop — the unrolled variant's per-layer weight slices
+        # don't fuse and cost ~20% end-to-end.)
+        def body(carry, layer_params):
+            out, ck, cv, li = carry
+            out, (ck, cv) = _layer(out, layer_params, cfg, cos, sin, bias,
+                                   (ck, cv, li), cache.index)
+            return (out, ck, cv, li + 1), None
+
+        (x, nk, nv, _), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), lp)
+        new_cache = KVCache(k=nk, v=nv, index=cache.index + s)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, new_cache
