@@ -188,11 +188,14 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
 
 
 def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
-            cache: Optional[KVCache] = None,
+            cache: Optional[KVCache] = None, remat: bool = False,
             ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the stack on pre-computed input embeddings.
 
-    - without cache: full causal self-attention over ``inputs_embeds [B,S,D]``.
+    - without cache: full causal self-attention over ``inputs_embeds [B,S,D]``;
+      ``remat=True`` checkpoints each layer (recompute in backward), trading
+      ~30% more FLOPs for O(layers) less activation memory — required for
+      tv2o-large / long-sequence training.
     - with cache: positions start at ``cache.index``; new KV are written into
       the cache (static max length) and attention spans all valid positions.
 
@@ -229,6 +232,8 @@ def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
             out, _ = _layer(carry, layer_params, cfg, cos, sin, bias, None, None)
             return out, None
 
+        if remat:
+            body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, lp)
         new_cache = None
     else:

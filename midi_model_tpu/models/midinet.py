@@ -49,16 +49,16 @@ def embed_events(params: dict, tokens: jax.Array) -> jax.Array:
 
 
 def forward(params: dict, config: MIDIModelConfig, x: jax.Array,
-            cache: Optional[KVCache] = None,
+            cache: Optional[KVCache] = None, remat: bool = False,
             ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Event net: ``x [B, L, T]`` -> hidden ``[B, L, D]`` (ref forward :137-150)."""
     emb = embed_events(params, x)
-    return llama.forward(params["net"], config.net, emb, cache=cache)
+    return llama.forward(params["net"], config.net, emb, cache=cache, remat=remat)
 
 
 def forward_token(params: dict, config: MIDIModelConfig,
                   hidden_state: Optional[jax.Array], x: Optional[jax.Array],
-                  cache: Optional[KVCache] = None,
+                  cache: Optional[KVCache] = None, remat: bool = False,
                   ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Token net + lm_head (ref forward_token :116-135).
 
@@ -74,7 +74,8 @@ def forward_token(params: dict, config: MIDIModelConfig,
     if x is not None:
         parts.append(jnp.take(params["net_token"]["embed"], x, axis=0))
     seq = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-    h, new_cache = llama.forward(params["net_token"], config.net_token, seq, cache=cache)
+    h, new_cache = llama.forward(params["net_token"], config.net_token, seq,
+                                 cache=cache, remat=remat)
     return lm_head(params, h), new_cache
 
 

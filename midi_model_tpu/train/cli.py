@@ -45,6 +45,8 @@ def parse_args(argv=None):
     p.add_argument("--acc-grad", type=int, default=2)
     p.add_argument("--fp32", action="store_true", default=False,
                    help="fp32 compute (default bf16 compute, fp32 master)")
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="checkpoint layers (less memory, ~30%% more flops)")
     p.add_argument("--dp", type=int, default=0, help="data-parallel size (0 = all devices)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--multihost", action="store_true", default=False,
@@ -130,7 +132,7 @@ def main(argv=None):
     compute_dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     step_fn = make_train_step(config, optimizer, accum_steps=args.acc_grad,
                               compute_dtype=compute_dtype, mesh=mesh,
-                              tp=tp > 1)
+                              tp=tp > 1, remat=args.remat)
     state = init_train_state(params, optimizer)
     if mesh is not None:
         state = shard_train_state(state, mesh, config, tp=tp > 1)

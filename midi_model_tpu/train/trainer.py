@@ -57,7 +57,8 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01,
 
 
 def loss_fn(params, config: MIDIModelConfig, batch: jax.Array,
-            compute_dtype=jnp.bfloat16, sample_positions: Optional[jax.Array] = None):
+            compute_dtype=jnp.bfloat16, sample_positions: Optional[jax.Array] = None,
+            remat: bool = False):
     """Next-event token cross-entropy (mean over non-pad targets) + accuracy.
 
     ``sample_positions [N]`` optionally restricts the token-net pass to a
@@ -70,7 +71,7 @@ def loss_fn(params, config: MIDIModelConfig, batch: jax.Array,
 
     x = batch[:, :-1]
     y = batch[:, 1:]
-    hidden, _ = midinet.forward(cparams, config, x)
+    hidden, _ = midinet.forward(cparams, config, x, remat=remat)
     if sample_positions is not None:
         hidden = jnp.take(hidden, sample_positions, axis=1)
         y = jnp.take(y, sample_positions, axis=1)
@@ -78,7 +79,8 @@ def loss_fn(params, config: MIDIModelConfig, batch: jax.Array,
     t = y.shape[-1]
     hidden = hidden.reshape(b * l, d)
     y = y.reshape(b * l, t)
-    logits, _ = midinet.forward_token(cparams, config, hidden, y[:, :-1])
+    logits, _ = midinet.forward_token(cparams, config, hidden, y[:, :-1],
+                                      remat=remat)
 
     mask = (y != pad_id).astype(jnp.float32)
     logprobs = jax.nn.log_softmax(logits, axis=-1)
@@ -91,7 +93,7 @@ def loss_fn(params, config: MIDIModelConfig, batch: jax.Array,
 
 def make_train_step(config: MIDIModelConfig, optimizer: optax.GradientTransformation,
                     accum_steps: int = 1, compute_dtype=jnp.bfloat16,
-                    mesh=None, tp: bool = False):
+                    mesh=None, tp: bool = False, remat: bool = False):
     """Build the jitted train step.
 
     ``batch`` is ``[accum_steps, B, L, T]``; gradients are averaged over
@@ -100,7 +102,7 @@ def make_train_step(config: MIDIModelConfig, optimizer: optax.GradientTransforma
 
     def grads_one(params, mb):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, config, mb, compute_dtype)
+            params, config, mb, compute_dtype, remat=remat)
         return grads, metrics
 
     def train_step(state: TrainState, batch: jax.Array):
