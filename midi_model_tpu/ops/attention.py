@@ -48,15 +48,23 @@ def _on_tpu() -> bool:
 def _use_flash(s: int, cached: bool) -> bool:
     if _BACKEND == "xla" or cached:
         return False
+    if s < _FLASH_MIN_SEQ:
+        # shorter sequences (e.g. the 8-token row decoder) gain nothing and
+        # would pay block padding up to the flash block size
+        return False
     if _BACKEND == "flash":
         return True
-    return _on_tpu() and s >= _FLASH_MIN_SEQ
+    return _on_tpu()
 
 
 # Default xla: the measured XLA decode attention runs at ~70% of the HBM
 # roofline on v5e, while the Pallas kernel (kept for future tuning) is
 # currently slower per layer (see tools/perf_experiments.py logs).
 _DECODE_BACKEND = "xla"
+
+
+def get_decode_backend() -> str:
+    return _DECODE_BACKEND
 
 
 def set_decode_backend(name: str):

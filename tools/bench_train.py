@@ -48,7 +48,7 @@ def measure(batch_size: int, backend: str, sample_seq=None) -> float:
 
 
 def main():
-    for backend in ("flash",):
+    for backend in ("auto", "xla"):
         for bs in (2, 4, 8):
             try:
                 measure(bs, backend)
