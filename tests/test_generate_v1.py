@@ -43,9 +43,13 @@ def test_v1_generation_grammatical(setup):
 def test_v1_roundtrip_through_detokenize(setup):
     cfg, params = setup
     tok = cfg.tokenizer
-    out = generate(params, cfg, batch_size=1, max_len=16, seed=4)
+    rows = [[tok.bos_id] + [tok.pad_id] * 7,
+            tok.event2tokens(["set_tempo", 0, 0, 0, 120]),
+            tok.event2tokens(["note", 0, 0, 0, 8, 0, 60, 90])]
+    prompt = np.asarray(rows, np.int64)
+    out = generate(params, cfg, prompt=prompt, batch_size=1, max_len=16, seed=4)
     score = tok.detokenize([list(r) for r in out[0]])
-    assert score[0] == 480
+    assert score[0] == 480 and len(score) > 1
     from midi_model_tpu.midi import midi2score, score2midi
 
     rt = midi2score(score2midi(score))
