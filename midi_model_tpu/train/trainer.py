@@ -58,12 +58,18 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01,
 
 def loss_fn(params, config: MIDIModelConfig, batch: jax.Array,
             compute_dtype=jnp.bfloat16, sample_positions: Optional[jax.Array] = None,
-            remat: bool = False):
+            remat: bool = False, token_chunk: Optional[int] = None):
     """Next-event token cross-entropy (mean over non-pad targets) + accuracy.
 
     ``sample_positions [N]`` optionally restricts the token-net pass to a
     subset of event positions (the reference's --sample-seq VRAM saver,
     train.py:172-175).
+
+    ``token_chunk`` bounds activation memory: the token-net + CE pass runs as
+    a rematerialized scan over chunks of event positions, so the [N, 8, vocab]
+    logits tensor never materializes whole (N = B·L can be 16k+; its fp32
+    logits alone would be several GB — the reason the reference needs
+    --sample-seq).  Backward recomputes per chunk.
     """
     pad_id = config.tokenizer.pad_id
     cparams = jax.tree.map(
@@ -79,21 +85,49 @@ def loss_fn(params, config: MIDIModelConfig, batch: jax.Array,
     t = y.shape[-1]
     hidden = hidden.reshape(b * l, d)
     y = y.reshape(b * l, t)
-    logits, _ = midinet.forward_token(cparams, config, hidden, y[:, :-1],
-                                      remat=remat)
 
-    mask = (y != pad_id).astype(jnp.float32)
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logprobs, y[..., None], axis=-1)[..., 0]
-    denom = jnp.maximum(mask.sum(), 1.0)
-    loss = (nll * mask).sum() / denom
-    acc = ((jnp.argmax(logits, axis=-1) == y) * mask).sum() / denom
+    def chunk_stats(h_chunk, y_chunk):
+        logits, _ = midinet.forward_token(cparams, config, h_chunk,
+                                          y_chunk[:, :-1], remat=remat)
+        mask = (y_chunk != pad_id).astype(jnp.float32)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logprobs, y_chunk[..., None], axis=-1)[..., 0]
+        hits = (jnp.argmax(logits, axis=-1) == y_chunk) * mask
+        return (nll * mask).sum(), hits.sum(), mask.sum()
+
+    n = b * l
+    if token_chunk is None or token_chunk >= n:
+        nll_sum, hit_sum, count = chunk_stats(hidden, y)
+    else:
+        chunk = token_chunk
+        n_chunks = n // chunk
+        main, tail = n_chunks * chunk, n - n_chunks * chunk
+
+        def body(carry, hy):
+            h_c, y_c = hy
+            s = jax.checkpoint(chunk_stats)(h_c, y_c)
+            return jax.tree.map(jnp.add, carry, s), None
+
+        init = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+        (nll_sum, hit_sum, count), _ = jax.lax.scan(
+            body, init,
+            (hidden[:main].reshape(n_chunks, chunk, d),
+             y[:main].reshape(n_chunks, chunk, t)))
+        if tail:
+            s = chunk_stats(hidden[main:], y[main:])
+            nll_sum, hit_sum, count = jax.tree.map(
+                jnp.add, (nll_sum, hit_sum, count), s)
+
+    denom = jnp.maximum(count, 1.0)
+    loss = nll_sum / denom
+    acc = hit_sum / denom
     return loss, {"loss": loss, "acc": acc}
 
 
 def make_train_step(config: MIDIModelConfig, optimizer: optax.GradientTransformation,
                     accum_steps: int = 1, compute_dtype=jnp.bfloat16,
-                    mesh=None, tp: bool = False, remat: bool = False):
+                    mesh=None, tp: bool = False, remat: bool = False,
+                    token_chunk: Optional[int] = None):
     """Build the jitted train step.
 
     ``batch`` is ``[accum_steps, B, L, T]``; gradients are averaged over
@@ -102,7 +136,8 @@ def make_train_step(config: MIDIModelConfig, optimizer: optax.GradientTransforma
 
     def grads_one(params, mb):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, config, mb, compute_dtype, remat=remat)
+            params, config, mb, compute_dtype, remat=remat,
+            token_chunk=token_chunk)
         return grads, metrics
 
     def train_step(state: TrainState, batch: jax.Array):

@@ -23,12 +23,14 @@ SEQ = 2048
 STEPS = 8
 
 
-def measure(batch_size: int, backend: str, sample_seq=None) -> float:
+def measure(batch_size: int, backend: str, token_chunk=None, remat=False,
+            name="tv2o-medium") -> float:
     set_backend(backend)
-    config = MIDIModelConfig.from_name("tv2o-medium")
+    config = MIDIModelConfig.from_name(name)
     params = midinet.init_params(jax.random.PRNGKey(0), config)
     opt = make_optimizer()
-    step = make_train_step(config, opt, accum_steps=1)
+    step = make_train_step(config, opt, accum_steps=1, token_chunk=token_chunk,
+                           remat=remat)
     state = init_train_state(params, opt)
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.integers(
@@ -42,19 +44,27 @@ def measure(batch_size: int, backend: str, sample_seq=None) -> float:
     float(m["loss"])  # host sync
     dt = (time.time() - t0) / STEPS
     tokens = batch_size * SEQ * 8
-    print(f"bs={batch_size} attn={backend}: {dt*1000:.0f} ms/step, "
-          f"{tokens/dt:,.0f} tokens/sec")
+    print(f"{name} bs={batch_size} attn={backend} chunk={token_chunk} "
+          f"remat={remat}: {dt*1000:.0f} ms/step, {tokens/dt:,.0f} tokens/sec")
     return tokens / dt
 
 
 def main():
-    for backend in ("auto", "xla"):
-        for bs in (2, 4, 8):
-            try:
-                measure(bs, backend)
-            except Exception as e:
-                print(f"bs={bs} attn={backend}: FAILED {type(e).__name__}: "
-                      f"{str(e)[:200]}")
+    jobs = [
+        dict(batch_size=2, backend="auto"),
+        dict(batch_size=4, backend="auto", token_chunk=2048),
+        dict(batch_size=8, backend="auto", token_chunk=2048, remat=True),
+        dict(batch_size=16, backend="auto", token_chunk=2048, remat=True),
+        dict(batch_size=2, backend="auto", token_chunk=2048, remat=True,
+             name="tv2o-large"),
+        dict(batch_size=4, backend="auto", token_chunk=2048, remat=True,
+             name="tv2o-large"),
+    ]
+    for job in jobs:
+        try:
+            measure(**job)
+        except Exception as e:
+            print(f"{job}: FAILED {type(e).__name__}: {str(e)[:160]}")
 
 
 if __name__ == "__main__":
