@@ -1,6 +1,7 @@
 """Model configurations and the hierarchical MIDI transformer."""
 
 from . import llama, midinet
+from .api import MIDIModel
 from .config import CONFIG_NAMES, MIDIModelConfig, TransformerConfig, config_name_list
 from .llama import KVCache
 
@@ -10,6 +11,7 @@ __all__ = [
     "KVCache",
     "llama",
     "midinet",
+    "MIDIModel",
     "MIDIModelConfig",
     "TransformerConfig",
 ]

@@ -1,0 +1,47 @@
+"""Generation throughput vs batch size (serving scaling on one chip)."""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from midi_model_tpu.models import MIDIModelConfig, midinet
+from midi_model_tpu.sampling import build_mask_table, decode_events, prefill
+from midi_model_tpu.sampling.generate import _mask_arrays, normalize_prompt
+
+EVENTS = 512
+
+
+def run(batch):
+    config = MIDIModelConfig.from_name("tv2o-medium")
+    tok = config.tokenizer
+    params = midinet.init_params(jax.random.PRNGKey(0), config, dtype=jnp.bfloat16)
+    prompt = jnp.asarray(normalize_prompt(tok, None, batch))
+    masks = _mask_arrays(build_mask_table(tok, disable_eos=True))
+    key = jax.random.PRNGKey(42)
+
+    state = prefill(params, config, prompt, 1 + EVENTS)
+    state, rows, n = decode_events(params, config, state, masks, 8, 1.0, 0.98,
+                                   20, key)
+    int(n)  # sync after compile/warmup
+    state2 = prefill(params, config, prompt, 1 + EVENTS)
+    t0 = time.time()
+    state2, rows, n = decode_events(params, config, state2, masks, EVENTS, 1.0,
+                                    0.98, 20, key)
+    n = int(n)
+    dt = time.time() - t0
+    print(f"bs={batch}: {n} events in {dt:.1f}s -> "
+          f"{n * batch / dt:,.0f} events/sec", flush=True)
+
+
+if __name__ == "__main__":
+    for batch in (32, 64, 128, 256):
+        try:
+            run(batch)
+        except Exception as e:
+            print(f"bs={batch}: FAILED {type(e).__name__} {str(e)[:160]}",
+                  flush=True)
