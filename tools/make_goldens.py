@@ -124,6 +124,34 @@ def make_handcrafted_bytes():
     return cases
 
 
+def make_tonal_score(rng, key_sig=None, drum_only=False, n=300):
+    """Strongly tonal content exercising key-signature detect/repair paths."""
+    tpq = 480
+    c_major = [60, 62, 64, 65, 67, 69, 71, 72]
+    score = [tpq]
+    track = [["set_tempo", 0, 500000]]
+    if key_sig is not None:
+        track.append(["key_signature", 0, key_sig[0], key_sig[1]])
+    t = 0
+    channel = 9 if drum_only else 0
+    for i in range(n):
+        t += rng.choice([120, 240, 480])
+        pitch = (rng.choice([35, 38, 42]) if drum_only
+                 else rng.choice(c_major) + 12 * rng.randint(-1, 1))
+        track.append(["note", t, rng.choice([120, 240]), channel, pitch,
+                      rng.randint(60, 120)])
+    score.append(track)
+    if drum_only:
+        # second melodic track so remap keeps multiple channels
+        tr2 = [["patch_change", 0, 3, 48]]
+        t = 0
+        for _ in range(40):
+            t += 240
+            tr2.append(["note", t, 240, 3, rng.choice(c_major), 90])
+        score.append(tr2)
+    return score
+
+
 def main():
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     rng = random.Random(0xC0FFEE)
@@ -136,6 +164,14 @@ def main():
         score = make_random_score(rng, ntracks=ntracks, length=length)
         corpus[f"rand_{i:02d}"] = MIDI.score2midi(score)
     corpus.update(make_handcrafted_bytes())
+    # Targeted key-signature paths (detect / repair-default / drum forcing).
+    corpus["tonal_no_keysig"] = MIDI.score2midi(make_tonal_score(rng))
+    corpus["tonal_default_keysig"] = MIDI.score2midi(
+        make_tonal_score(rng, key_sig=(0, 0)))
+    corpus["tonal_real_keysig"] = MIDI.score2midi(
+        make_tonal_score(rng, key_sig=(3, 1)))
+    corpus["drums_with_keysig"] = MIDI.score2midi(
+        make_tonal_score(rng, key_sig=(0, 0), drum_only=True))
 
     codec_goldens = {}
     for name, data in corpus.items():
