@@ -193,8 +193,13 @@ class EventTokenizerBase:
             remove_empty_channels = self.optimise_midi
 
         st = _ScanState()
-        self._scan_tracks(midi_score, st, cc_eps, tempo_eps)
-        event_list = list(st.event_list.values())
+        native = _native_scan()
+        if native is not None:
+            event_list = self._scan_tracks_native(native, midi_score, st,
+                                                  cc_eps, tempo_eps)
+        else:
+            self._scan_tracks(midi_score, st, cc_eps, tempo_eps)
+            event_list = list(st.event_list.values())
         st.empty_channels = [c for c in st.channels if st.empty_flags[c]]
 
         if remap_track_channel:
@@ -230,6 +235,24 @@ class EventTokenizerBase:
         if name in ("time_signature", "key_signature"):
             return tuple(rec[:-2])
         return tuple(rec[:-1])
+
+    def _scan_tracks_native(self, native, midi_score: list, st: "_ScanState",
+                            cc_eps: float, tempo_eps: float) -> list:
+        """Phase 1 via the C++ extension (native/tokenizer_scan.cpp); fills
+        the same _ScanState the python scan produces and returns the live
+        event list (key_sigs alias the same record objects)."""
+        out = native.scan_tracks(midi_score, 1 if self.version == "v1" else 2,
+                                 float(cc_eps), float(tempo_eps))
+        st.channels = out["channels"]
+        st.patch_channels = out["patch_channels"]
+        st.empty_flags = out["empty_flags"]
+        st.track_idx_dict = out["track_idx_dict"]
+        st.track_idx_map = out["track_idx_map"]
+        st.channel_note_tracks = out["channel_note_tracks"]
+        st.note_key_hist = out["note_key_hist"]
+        st.key_sigs = out["key_sigs"]
+        st.track_to_channels = out["track_to_channels"]
+        return out["event_list"]
 
     def _scan_tracks(self, midi_score: list, st: "_ScanState", cc_eps: int, tempo_eps: int):
         """Phase 1: quantize, validate, dedup; build channel/track indexes."""
@@ -780,6 +803,13 @@ class EventTokenizerBase:
         for tr, c, p, t, d in notes:
             img[p, t: t + d] = colors[(tr, c)]
         return PIL.Image.fromarray(np.flip(img, 0))
+
+
+def _native_scan():
+    """The optional C++ scan-phase module (native/tokenizer_scan.cpp)."""
+    from ..native import native_tokenizer_scan
+
+    return native_tokenizer_scan()
 
 
 class _ScanState:

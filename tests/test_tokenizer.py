@@ -126,6 +126,20 @@ def test_event_roundtrip():
         assert tok.tokens2event([tok.pad_id] * tok.max_token_seq) == []
 
 
+@pytest.mark.parametrize("key", CONFIGS)
+def test_python_scan_matches_native(goldens, scores, key, monkeypatch):
+    """Both scan-phase implementations must tokenize identically."""
+    import midi_model_tpu.tokenizer.base as base
+
+    if base._native_scan() is None:
+        pytest.skip("native scan not built")
+    tok = make_tok(key)
+    native_out = {name: tok.tokenize(score) for name, score in scores.items()}
+    monkeypatch.setattr(base, "_native_scan", lambda: None)
+    for name, score in scores.items():
+        assert tok.tokenize(score) == native_out[name], f"{key}/{name}"
+
+
 def test_grammar_tables():
     tok = MIDITokenizer("v2")
     t = tok.vocab.grammar_tables()
