@@ -37,20 +37,52 @@ class KVCache(NamedTuple):
     batch row is aligned (training-style decode), or a ``[batch]`` vector for
     continuous batching where each slot has its own length (single-token
     decode only).
+
+    ``k_scale``/``v_scale`` are present only for the int8-quantized cache
+    (per-token-per-head absmax scales, ``[L, B, S, Hkv]`` f32): decode
+    attention is HBM-bound on cache reads, so int8 storage halves the
+    dominant traffic; dequantization fuses into the attention matmuls.
     """
 
     k: jax.Array
     v: jax.Array
     index: jax.Array  # int32 scalar or [batch] vector
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @staticmethod
     def zeros(cfg: TransformerConfig, batch: int, max_seq: int, dtype=jnp.float32,
-              per_row: bool = False):
+              per_row: bool = False, quantized: bool = False):
         shape = (cfg.num_layers, batch, max_seq, cfg.kv_heads, cfg.head_dim)
         index = (jnp.zeros((batch,), jnp.int32) if per_row
                  else jnp.zeros((), jnp.int32))
+        if quantized:
+            sshape = shape[:-1]
+            return KVCache(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                index=index,
+                k_scale=jnp.zeros(sshape, jnp.float32),
+                v_scale=jnp.zeros(sshape, jnp.float32))
         return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                        index=index)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def quantize_kv(x: jax.Array):
+    """[B, S, H, D] -> (int8 values, [B, S, H] f32 scales); symmetric absmax."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = absmax / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    """Inverse of quantize_kv; fuses into the attention matmuls under XLA."""
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def init_transformer_params(key: jax.Array, cfg: TransformerConfig,
@@ -143,26 +175,42 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
     new_cache = None
     fused_out = None
     if cache_kv is not None:
-        # cache_kv = (full k cache, full v cache, layer index); the caller
-        # carries the [L, B, T, Hkv, Dh] buffers so only the new tokens are
-        # written in place — restacking the whole cache as loop outputs would
-        # double the HBM traffic of every decode step.
+        # cache_kv = (k cache, v cache, k scales, v scales, layer index); the
+        # caller carries the [L, B, T, Hkv, Dh] buffers so only the new tokens
+        # are written in place — restacking the whole cache as loop outputs
+        # would double the HBM traffic of every decode step.  Scales are None
+        # for the full-precision cache.
         from ..ops.attention import use_pallas_decode
 
-        ck_all, cv_all, li = cache_kv
+        ck_all, cv_all, ks_all, vs_all, li = cache_kv
+        quantized = ks_all is not None
+        if quantized:
+            k_q, k_s = quantize_kv(k)
+            v_q, v_s = quantize_kv(v)
+            write_k, write_v = k_q, v_q
+        else:
+            write_k, write_v = k, v
         if getattr(cache_index, "ndim", 0) == 1:
             # per-row write offsets (continuous batching, s == 1): a sparse
             # scatter touching exactly B rows
             rows = jnp.arange(b)
-            ck_all = ck_all.at[li, rows, cache_index].set(k[:, 0])
-            cv_all = cv_all.at[li, rows, cache_index].set(v[:, 0])
+            ck_all = ck_all.at[li, rows, cache_index].set(write_k[:, 0])
+            cv_all = cv_all.at[li, rows, cache_index].set(write_v[:, 0])
+            if quantized:
+                ks_all = ks_all.at[li, rows, cache_index].set(k_s[:, 0])
+                vs_all = vs_all.at[li, rows, cache_index].set(v_s[:, 0])
         else:
             ck_all = jax.lax.dynamic_update_slice(
-                ck_all, k[None], (li, 0, cache_index, 0, 0))
+                ck_all, write_k[None], (li, 0, cache_index, 0, 0))
             cv_all = jax.lax.dynamic_update_slice(
-                cv_all, v[None], (li, 0, cache_index, 0, 0))
-        new_cache = (ck_all, cv_all)
-        if (getattr(cache_index, "ndim", 0) == 0
+                cv_all, write_v[None], (li, 0, cache_index, 0, 0))
+            if quantized:
+                ks_all = jax.lax.dynamic_update_slice(
+                    ks_all, k_s[None], (li, 0, cache_index, 0))
+                vs_all = jax.lax.dynamic_update_slice(
+                    vs_all, v_s[None], (li, 0, cache_index, 0))
+        new_cache = (ck_all, cv_all, ks_all, vs_all)
+        if (not quantized and getattr(cache_index, "ndim", 0) == 0
                 and use_pallas_decode(s, ck_all.shape[2], h, hkv)):
             # fused flash-style decode attention straight off the cache —
             # no per-layer slice materialization; reads stop at valid length
@@ -173,6 +221,13 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
         else:
             k = jax.lax.dynamic_index_in_dim(ck_all, li, axis=0, keepdims=False)
             v = jax.lax.dynamic_index_in_dim(cv_all, li, axis=0, keepdims=False)
+            if quantized:
+                k = dequantize_kv(
+                    k, jax.lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
+                    q.dtype)
+                v = dequantize_kv(
+                    v, jax.lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
+                    q.dtype)
 
     if fused_out is not None:
         attn = fused_out.reshape(b, s, h * dh)
@@ -242,14 +297,17 @@ def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
         # full decode loop — the unrolled variant's per-layer weight slices
         # don't fuse and cost ~20% end-to-end.)
         def body(carry, layer_params):
-            out, ck, cv, li = carry
-            out, (ck, cv) = _layer(out, layer_params, cfg, cos, sin, bias,
-                                   (ck, cv, li), cache.index)
-            return (out, ck, cv, li + 1), None
+            out, ck, cv, ks, vs, li = carry
+            out, (ck, cv, ks, vs) = _layer(out, layer_params, cfg, cos, sin,
+                                           bias, (ck, cv, ks, vs, li),
+                                           cache.index)
+            return (out, ck, cv, ks, vs, li + 1), None
 
-        (x, nk, nv, _), _ = jax.lax.scan(
-            body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), lp)
-        new_cache = KVCache(k=nk, v=nv, index=cache.index + s)
+        (x, nk, nv, nks, nvs, _), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                   jnp.zeros((), jnp.int32)), lp)
+        new_cache = KVCache(k=nk, v=nv, index=cache.index + s,
+                            k_scale=nks, v_scale=nvs)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, new_cache

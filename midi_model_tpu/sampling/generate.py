@@ -52,9 +52,9 @@ def _mask_arrays(table: MaskTable):
             jnp.asarray(table.pad_only))
 
 
-@functools.partial(jax.jit, static_argnames=("config", "max_seq"))
+@functools.partial(jax.jit, static_argnames=("config", "max_seq", "kv_int8"))
 def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
-            ) -> GenState:
+            kv_int8: bool = False) -> GenState:
     """Run the event net over the prompt rows, filling the event cache.
 
     When the Pallas decode backend is enabled, the cache is over-allocated to
@@ -67,7 +67,8 @@ def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
         max_seq = ((max_seq + S_BLK - 1) // S_BLK) * S_BLK
     b = prompt.shape[0]
     dtype = params["lm_head"].dtype
-    cache = KVCache.zeros(config.net, b, max_seq, dtype=dtype)
+    cache = KVCache.zeros(config.net, b, max_seq, dtype=dtype,
+                          quantized=kv_int8)
     hidden, cache = midinet.forward(params, config, prompt, cache=cache)
     return GenState(
         cache=cache,
@@ -198,7 +199,7 @@ def generate(params, config: MIDIModelConfig, prompt: Optional[np.ndarray] = Non
              disable_control_change: bool = False,
              disable_channels: Optional[list] = None,
              chunk_size: Optional[int] = None, context_limit: int = 4096,
-             event_callback=None) -> np.ndarray:
+             kv_int8: bool = False, event_callback=None) -> np.ndarray:
     """Host-facing generation: returns ``[B, L, T]`` int numpy rows
     (prompt + generated), mirroring reference ``MIDIModel.generate``.
 
@@ -218,7 +219,8 @@ def generate(params, config: MIDIModelConfig, prompt: Optional[np.ndarray] = Non
         disable_channels=disable_channels)
     masks = _mask_arrays(table)
 
-    state = prefill(params, config, jnp.asarray(prompt), max_len)
+    state = prefill(params, config, jnp.asarray(prompt), max_len,
+                    kv_int8=kv_int8)
     key = jax.random.PRNGKey(seed)
 
     remaining = max_len - p_len

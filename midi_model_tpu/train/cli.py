@@ -36,7 +36,12 @@ def parse_args(argv=None):
     p.add_argument("--warmup-step", type=int, default=100)
     p.add_argument("--max-step", type=int, default=1_000_000)
     p.add_argument("--grad-clip", type=float, default=1.0)
-    p.add_argument("--sample-seq", action="store_true", default=False)
+    p.add_argument("--sample-seq", action="store_true", default=False,
+                   help="bound token-net memory (runs the token-net+CE pass "
+                        "in rematerialized chunks — the exact-loss analogue "
+                        "of the reference's position subsampling)")
+    p.add_argument("--token-chunk", type=int, default=0,
+                   help="explicit token-net CE chunk size (0 = auto)")
     p.add_argument("--gen-example-interval", type=int, default=1)
     p.add_argument("--batch-size-train", type=int, default=2)
     p.add_argument("--batch-size-val", type=int, default=2)
@@ -130,9 +135,11 @@ def main(argv=None):
                                total_steps=args.max_step,
                                grad_clip=args.grad_clip)
     compute_dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    token_chunk = args.token_chunk or (2048 if args.sample_seq else None)
     step_fn = make_train_step(config, optimizer, accum_steps=args.acc_grad,
                               compute_dtype=compute_dtype, mesh=mesh,
-                              tp=tp > 1, remat=args.remat)
+                              tp=tp > 1, remat=args.remat,
+                              token_chunk=token_chunk)
     state = init_train_state(params, optimizer)
     if mesh is not None:
         state = shard_train_state(state, mesh, config, tp=tp > 1)
