@@ -70,13 +70,14 @@ class MidiGenerationService:
 
     def __init__(self, params, config: MIDIModelConfig, batch_size: int = 4,
                  soundfont_path: Optional[str] = None, chunk_size: int = 64,
-                 context_limit: int = 4096):
+                 context_limit: int = 4096, kv_int8: bool = False):
         self.params = params
         self.config = config
         self.tokenizer = config.tokenizer
         self.batch_size = batch_size
         self.chunk_size = chunk_size
         self.context_limit = context_limit
+        self.kv_int8 = kv_int8
         self.synthesizer = load_synthesizer(soundfont_path)
 
     # ---- prompt builders -------------------------------------------------
@@ -156,7 +157,7 @@ class MidiGenerationService:
             disable_control_change=not req.allow_cc,
             disable_channels=disable_channels,
             chunk_size=self.chunk_size, context_limit=self.context_limit,
-            event_callback=cb)
+            kv_int8=self.kv_int8, event_callback=cb)
         for c in chunks:
             yield c
         self.last_output = out
@@ -302,6 +303,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--soundfont", type=str, default=None)
     ap.add_argument("--share", action="store_true")
+    ap.add_argument("--kv-int8", action="store_true", default=False,
+                    help="int8 KV cache (halves decode memory traffic)")
     args = ap.parse_args(argv)
 
     if args.config == "auto":
@@ -315,7 +318,8 @@ def main(argv=None):
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
 
     service = MidiGenerationService(params, config, batch_size=args.batch,
-                                    soundfont_path=args.soundfont)
+                                    soundfont_path=args.soundfont,
+                                    kv_int8=args.kv_int8)
     app = build_ui(service)
     app.launch(server_port=args.port, share=args.share)
 
