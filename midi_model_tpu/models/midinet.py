@@ -43,9 +43,13 @@ def param_count(params) -> int:
 
 
 def embed_events(params: dict, tokens: jax.Array) -> jax.Array:
-    """[..., T] token-id rows -> [..., D] summed event embeddings."""
+    """[..., T] token-id rows -> [..., D] summed event embeddings.
+
+    Gathered rows are cast to the compute dtype (lm_head's) after lookup, so
+    mixed pytrees (fp32 embedding tables + bf16 matrices) work — converting
+    whole tables before the gather blows XLA's scoped-VMEM fusion budget."""
     emb = jnp.take(params["net"]["embed"], tokens, axis=0)
-    return emb.sum(axis=-2)
+    return emb.astype(params["lm_head"].dtype).sum(axis=-2)
 
 
 def forward(params: dict, config: MIDIModelConfig, x: jax.Array,
@@ -68,11 +72,12 @@ def forward_token(params: dict, config: MIDIModelConfig,
         incremental decode), or None.
     :return: (logits [B, S, vocab], updated cache) where S = (hidden?1:0) + T.
     """
+    dtype = params["lm_head"].dtype
     parts = []
     if hidden_state is not None:
-        parts.append(hidden_state[:, None, :])
+        parts.append(hidden_state[:, None, :].astype(dtype))
     if x is not None:
-        parts.append(jnp.take(params["net_token"]["embed"], x, axis=0))
+        parts.append(jnp.take(params["net_token"]["embed"], x, axis=0).astype(dtype))
     seq = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     h, new_cache = llama.forward(params["net_token"], config.net_token, seq,
                                  cache=cache, remat=remat)

@@ -74,6 +74,13 @@ def loss_fn(params, config: MIDIModelConfig, batch: jax.Array,
     pad_id = config.tokenizer.pad_id
     cparams = jax.tree.map(
         lambda p: p.astype(compute_dtype) if p.dtype == jnp.float32 else p, params)
+    # Embedding tables stay in their master dtype: converting the whole table
+    # feeds a convert+gather fusion that XLA tries to hold in scoped VMEM
+    # (>16 MB); gathered rows are cast after lookup instead (midinet casts to
+    # the lm_head dtype).
+    cparams["net"] = dict(cparams["net"], embed=params["net"]["embed"])
+    cparams["net_token"] = dict(cparams["net_token"],
+                                embed=params["net_token"]["embed"])
 
     x = batch[:, :-1]
     y = batch[:, 1:]
@@ -191,8 +198,13 @@ def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainSt
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def eval_step(params, config: MIDIModelConfig, batch: jax.Array):
-    """Validation loss + masked accuracy (ref validation_step, train.py:190-206)."""
-    _, metrics = loss_fn(params, config, batch)
+@functools.partial(jax.jit, static_argnames=("config", "token_chunk"))
+def eval_step(params, config: MIDIModelConfig, batch: jax.Array,
+              token_chunk: int = 256):
+    """Validation loss + masked accuracy (ref validation_step, train.py:190-206).
+
+    Runs the token-net pass chunked: at full validation lengths the fused
+    embedding gather of all B·L·(T-1) rows can exceed the 16 MB VMEM scope.
+    """
+    _, metrics = loss_fn(params, config, batch, token_chunk=token_chunk)
     return metrics
