@@ -41,6 +41,40 @@ DRUM_KITS = {-1: "None", 0: "Standard", 8: "Room", 16: "Power", 24: "Electric",
 PATCH_NUMBERS = {name: num for num, name in GM_PATCH_NAMES.items()}
 DRUM_KIT_NUMBERS = {name: num for num, name in DRUM_KITS.items()}
 
+# Known pretrained checkpoints (the reference's model zoo, app_onnx.py:533-579);
+# weights load through interop.torch_ckpt.
+MODEL_ZOO = {
+    "generic pretrain model (tv2o-medium) by skytnt": {
+        "repo_id": "skytnt/midi-model-tv2o-medium", "config": "tv2o-medium",
+        "loras": {
+            "jpop": "skytnt/midi-model-tv2om-jpop-lora",
+            "touhou": "skytnt/midi-model-tv2om-touhou-lora",
+        },
+    },
+    "generic pretrain model (tv2o-large) by asigalov61": {
+        "repo_id": "asigalov61/Music-Llama", "config": "tv2o-large", "loras": {},
+    },
+    "generic pretrain model (tv2o-medium) by asigalov61": {
+        "repo_id": "asigalov61/Music-Llama-Medium", "config": "tv2o-medium",
+        "loras": {},
+    },
+    "generic pretrain model (tv1-medium) by skytnt": {
+        "repo_id": "skytnt/midi-model", "config": "tv1-medium", "loras": {},
+    },
+}
+
+
+def download_model(name: str, cache_dir: str = "models"):
+    """Fetch a zoo checkpoint from the HF hub (requires network + hub client).
+
+    Returns the local path to model.safetensors.
+    """
+    from huggingface_hub import hf_hub_download
+
+    info = MODEL_ZOO[name]
+    return hf_hub_download(repo_id=info["repo_id"], filename="model.safetensors",
+                           cache_dir=cache_dir)
+
 
 @dataclasses.dataclass
 class GenerationRequest:
