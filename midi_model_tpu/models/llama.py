@@ -191,14 +191,34 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
         else:
             write_k, write_v = k, v
         if getattr(cache_index, "ndim", 0) == 1:
-            # per-row write offsets (continuous batching, s == 1): a sparse
-            # scatter touching exactly B rows
-            rows = jnp.arange(b)
-            ck_all = ck_all.at[li, rows, cache_index].set(write_k[:, 0])
-            cv_all = cv_all.at[li, rows, cache_index].set(write_v[:, 0])
+            # per-row write offsets (continuous batching, s == 1).  TPU
+            # scatters with computed indices serialize (measured ~50x slower
+            # than the decode step itself), so write via a one-hot blend of
+            # the layer slice instead — bandwidth-bound, fused by XLA.
+            t_len = ck_all.shape[2]
+            onehot = (jnp.arange(t_len)[None, :] == cache_index[:, None])
+            sel = onehot[..., None, None]  # [B, T, 1, 1]
+
+            def blend(all_buf, new_row):
+                old = jax.lax.dynamic_index_in_dim(all_buf, li, 0, keepdims=False)
+                upd = jnp.where(sel, new_row.astype(all_buf.dtype), old)
+                return jax.lax.dynamic_update_slice(
+                    all_buf, upd[None], (li, 0, 0, 0, 0))
+
+            ck_all = blend(ck_all, write_k)  # write_k [B,1,H,D] broadcasts
+            cv_all = blend(cv_all, write_v)
             if quantized:
-                ks_all = ks_all.at[li, rows, cache_index].set(k_s[:, 0])
-                vs_all = vs_all.at[li, rows, cache_index].set(v_s[:, 0])
+                sel3 = onehot[..., None]
+
+                def blend3(all_buf, new_row):
+                    old = jax.lax.dynamic_index_in_dim(all_buf, li, 0,
+                                                       keepdims=False)
+                    upd = jnp.where(sel3, new_row, old)
+                    return jax.lax.dynamic_update_slice(
+                        all_buf, upd[None], (li, 0, 0, 0))
+
+                ks_all = blend3(ks_all, k_s)
+                vs_all = blend3(vs_all, v_s)
         else:
             ck_all = jax.lax.dynamic_update_slice(
                 ck_all, write_k[None], (li, 0, cache_index, 0, 0))

@@ -14,7 +14,7 @@ from midi_model_tpu.models import MIDIModelConfig, midinet
 from midi_model_tpu.serve.batcher import ContinuousBatcher
 
 
-def main(n_slots=128, max_seq=512, budget=256, n_requests=256):
+def main(n_slots=128, max_seq=512, budget=128, n_requests=160):
     config = MIDIModelConfig.from_name("tv2o-medium")
     tok = config.tokenizer
     params = midinet.init_params(jax.random.PRNGKey(0), config, dtype=jnp.bfloat16)
