@@ -242,6 +242,9 @@ class ContinuousBatcher:
                             self.top_k, sub, self.chunk, self.greedy)
         (self._cache_k, self._cache_v, self._index, self._hidden) = carry
         rows = np.asarray(rows)  # [B, chunk, T]
+        # one host fetch for all slots: indexing the device array per slot
+        # costs a full tunnel round-trip each time (~30 ms × B × chunk!)
+        index_host = np.asarray(self._index)
 
         finished: List[Finished] = []
         eos_id = self.tokenizer.eos_id
@@ -259,7 +262,7 @@ class ContinuousBatcher:
                     if slot.produced >= slot.budget:
                         done_reason = "budget"
                 # cache overflow guard
-                if done_reason is None and int(self._index[b]) >= self.max_seq - 1:
+                if done_reason is None and int(index_host[b]) >= self.max_seq - 1:
                     done_reason = "budget"
                 if done_reason:
                     finished.append(Finished(
