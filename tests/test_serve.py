@@ -67,3 +67,39 @@ def test_streaming_run_and_finish(service, tmp_path):
 def test_render_audio_without_synth(service):
     out = service.render_audio([np.zeros((4, 8), np.int64)])
     assert out == [None]  # no soundfont configured -> graceful no-op
+
+
+def test_continuation_and_undo(service):
+    req = GenerationRequest(gen_events=4, seed=1, bpm=90)
+    list(service.run(req))
+    first = [list(map(list, s)) for s in service.last_output]
+    first_len = len(first[0])
+
+    state = [0]
+    req2 = GenerationRequest(gen_events=3, seed=2)
+    list(service.continue_run(req2, first, state, select=0))
+    continued = [list(map(list, s)) for s in service.last_output]
+    assert len(continued[0]) > first_len
+    assert continued[0][:first_len] == first[0]
+    assert state == [0, first_len]
+
+    # undo restores the pre-continuation sequences
+    undone, state2 = service.undo_continuation(continued, state)
+    assert [s[:first_len] for s in undone] == [s[:first_len] for s in first]
+    assert len(undone[0]) == first_len
+    assert state2 == [0]
+
+    # select > 0: everyone continues from output 1; undo restores snapshot
+    state3 = [0]
+    list(service.continue_run(req2, first, state3, select=1))
+    assert isinstance(state3[-1], list)
+    restored, _ = service.undo_continuation(
+        [list(map(list, s)) for s in service.last_output], state3)
+    assert restored == first
+
+
+def test_model_zoo_registry():
+    from midi_model_tpu.serve.app import MODEL_ZOO
+
+    assert any(v["config"] == "tv2o-medium" for v in MODEL_ZOO.values())
+    assert any(v["config"] == "tv1-medium" for v in MODEL_ZOO.values())
