@@ -180,3 +180,17 @@ def test_checkpoint_roundtrip(cfg, batch, tmp_path):
     d = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
                      jax.tree.map(np.asarray, state.params), params2)
     assert max(jax.tree.leaves(d)) == 0.0
+
+
+def test_dataloader_process_pool(cfg, midi_dir):
+    """workers>0: batches come from the process pool (native modules must
+    import cleanly in workers)."""
+    from midi_model_tpu.train import find_midi_files
+
+    files = find_midi_files(str(midi_dir))
+    ds = MidiDataset(files, cfg.tokenizer, max_len=32, min_file_size=10,
+                     max_file_size=10**6, seed=2)
+    loader = iter(DataLoader(ds, batch_size=2, workers=2, prefetch=2))
+    b1 = next(loader)
+    b2 = next(loader)
+    assert b1.shape == b2.shape == (2, 32, cfg.tokenizer.max_token_seq)
