@@ -19,6 +19,7 @@ from .constants import (
 )
 from .utils import (
     concatenate_scores,
+    play_score,
     grep,
     merge_scores,
     mix_opus_tracks,
@@ -35,6 +36,6 @@ __all__ = [
     "score2midi", "score2opus", "EVENT_CHANNEL_INDEX", "Event2channelindex",
     "GM_PATCH_NAMES", "GM_PERCUSSION_NAMES", "Notenum2percussion",
     "Number2patch", "concatenate_scores", "grep", "merge_scores",
-    "mix_opus_tracks", "mix_scores", "score2stats", "score_type", "segment",
+    "mix_opus_tracks", "mix_scores", "play_score", "score2stats", "score_type", "segment",
     "timeshift", "to_millisecs",
 ]

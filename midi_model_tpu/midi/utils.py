@@ -15,6 +15,7 @@ from .codec import opus2score, score2opus
 from .constants import EVENT_CHANNEL_INDEX, SYSEX2MIDIMODE
 
 __all__ = [
+    "play_score",
     "to_millisecs",
     "grep",
     "timeshift",
@@ -80,6 +81,20 @@ def to_millisecs(old_opus: Optional[list] = None) -> list:
             ticks_so_far += delta
         new_opus.append(new_track)
     return new_opus
+
+
+def play_score(score: Optional[list] = None):
+    """Pipe a score/opus into ``aplaymidi -`` (MIDI.py:515-526 parity)."""
+    if score is None:
+        return
+    import subprocess
+
+    from .codec import opus2midi, score2midi
+
+    data = opus2midi(score) if score_type(score) == "opus" else score2midi(score)
+    proc = subprocess.Popen(["aplaymidi", "-"], stdin=subprocess.PIPE)
+    proc.stdin.write(data)
+    proc.stdin.close()
 
 
 def grep(score: Optional[list] = None, channels=None) -> list:
