@@ -24,22 +24,27 @@ def run(batch):
     masks = _mask_arrays(build_mask_table(tok, disable_eos=True))
     key = jax.random.PRNGKey(42)
 
+    # warm up with the SAME chunk size: the chunk is a static arg, so a
+    # different warmup chunk would leave the compile inside the timed region
     state = prefill(params, config, prompt, 1 + EVENTS)
-    state, rows, n = decode_events(params, config, state, masks, 8, 1.0, 0.98,
-                                   20, key)
+    state, rows, n = decode_events(params, config, state, masks, EVENTS, 1.0,
+                                   0.98, 20, key)
     int(n)  # sync after compile/warmup
-    state2 = prefill(params, config, prompt, 1 + EVENTS)
-    t0 = time.time()
-    state2, rows, n = decode_events(params, config, state2, masks, EVENTS, 1.0,
-                                    0.98, 20, key)
-    n = int(n)
-    dt = time.time() - t0
+    best = 0.0
+    for _ in range(2):
+        state2 = prefill(params, config, prompt, 1 + EVENTS)
+        t0 = time.time()
+        state2, rows, n = decode_events(params, config, state2, masks, EVENTS,
+                                        1.0, 0.98, 20, key)
+        n = int(n)
+        best = max(best, n / (time.time() - t0))
+    dt = n / best
     print(f"bs={batch}: {n} events in {dt:.1f}s -> "
           f"{n * batch / dt:,.0f} events/sec", flush=True)
 
 
 if __name__ == "__main__":
-    for batch in (32, 64, 128, 256):
+    for batch in (32, 128):
         try:
             run(batch)
         except Exception as e:
