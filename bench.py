@@ -30,7 +30,8 @@ def main():
     import jax.numpy as jnp
 
     from midi_model_tpu.models import MIDIModelConfig, midinet
-    from midi_model_tpu.sampling import build_mask_table, decode_events, prefill
+    from midi_model_tpu.sampling import (build_mask_table, decode_events,
+                                         grow_cache, prefill)
     from midi_model_tpu.sampling.generate import _mask_arrays, normalize_prompt
 
     config = MIDIModelConfig.from_name("tv2o-medium")
@@ -43,18 +44,24 @@ def main():
     masks = _mask_arrays(build_mask_table(tokenizer, disable_eos=True))
     key = jax.random.PRNGKey(42)
 
-    def run(n_events):
-        state = prefill(params, config, prompt, 1 + MAX_EVENTS)
-        state, rows, n_done = decode_events(
-            params, config, state, masks, n_events, 1.0, 0.98, 20, key)
-        jax.block_until_ready(rows)
-        return int(n_done)
+    half = MAX_EVENTS // 2
 
-    run(8)  # compile + warmup
+    def run():
+        """Bucketed decode: first half in a half-size cache (attention reads
+        scale with the static cache length), then grow and finish."""
+        state = prefill(params, config, prompt, 1 + half)
+        state, rows1, n1 = decode_events(
+            params, config, state, masks, half, 1.0, 0.98, 20, key)
+        state = grow_cache(state, 1 + MAX_EVENTS)
+        state, rows2, n2 = decode_events(
+            params, config, state, masks, half, 1.0, 0.98, 20, key)
+        return int(n1) + int(n2)
+
+    run()  # compile + warmup (same programs as the timed runs)
     best = 0.0
     for _ in range(2):  # best-of-2: the tunnel adds run-to-run variance
         t0 = time.time()
-        n_done = run(MAX_EVENTS)
+        n_done = run()
         dt = time.time() - t0
         best = max(best, n_done * BATCH / dt)
     events_per_sec = best

@@ -1,6 +1,13 @@
 """Jitted grammar-constrained generation."""
 
-from .generate import GenState, decode_events, generate, normalize_prompt, prefill
+from .generate import (
+    GenState,
+    decode_events,
+    generate,
+    grow_cache,
+    normalize_prompt,
+    prefill,
+)
 from .masks import MaskTable, build_mask_table
 from .topk_topp import sample_greedy, sample_top_p_k
 
@@ -10,6 +17,7 @@ __all__ = [
     "build_mask_table",
     "decode_events",
     "generate",
+    "grow_cache",
     "normalize_prompt",
     "prefill",
     "sample_greedy",

@@ -78,6 +78,31 @@ def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("new_size",), donate_argnums=(0,))
+def grow_cache(state: GenState, new_size: int) -> GenState:
+    """Grow the event cache to ``new_size`` positions (one copy).
+
+    Decode attention reads the whole static cache every step, so running the
+    early portion of a long generation in a smaller cache and growing it at
+    bucket boundaries trades one ~GB copy for hundreds of cheaper steps
+    (measured: 512-event decode at cache 513 is ~1.5× faster than at 1025).
+    """
+    cache = state.cache
+    old = cache.k.shape[2]
+    if new_size < old:
+        raise ValueError(f"cannot shrink cache {old} -> {new_size}")
+    pad = [(0, 0), (0, 0), (0, new_size - old), (0, 0), (0, 0)]
+    k = jnp.pad(cache.k, pad)
+    v = jnp.pad(cache.v, pad)
+    ks = vs = None
+    if cache.k_scale is not None:
+        spad = pad[:-1]
+        ks = jnp.pad(cache.k_scale, spad)
+        vs = jnp.pad(cache.v_scale, spad)
+    return state._replace(cache=KVCache(k=k, v=v, index=cache.index,
+                                        k_scale=ks, v_scale=vs))
+
+
 def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
                       masks, temp, top_p, top_k, key, greedy: bool):
     """Sample one full row (8 tokens) and advance the event cache."""
