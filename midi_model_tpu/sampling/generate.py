@@ -224,12 +224,20 @@ def generate(params, config: MIDIModelConfig, prompt: Optional[np.ndarray] = Non
              disable_control_change: bool = False,
              disable_channels: Optional[list] = None,
              chunk_size: Optional[int] = None, context_limit: int = 4096,
-             kv_int8: bool = False, event_callback=None) -> np.ndarray:
+             kv_int8: bool = False,
+             cache_buckets: Optional[list] = (256, 512, 1024, 2048, 4096),
+             event_callback=None) -> np.ndarray:
     """Host-facing generation: returns ``[B, L, T]`` int numpy rows
     (prompt + generated), mirroring reference ``MIDIModel.generate``.
 
     ``event_callback(rows_chunk)`` (if given) receives each decoded chunk as
     numpy — this is the streaming hook the serving app uses.
+
+    In chunked (streaming) mode the event cache starts at the smallest
+    ``cache_buckets`` entry that covers the next chunk and grows at bucket
+    boundaries: attention traffic scales with the static cache length, so
+    early chunks run substantially faster (outputs are identical; see
+    grow_cache).
     """
     tokenizer = config.tokenizer
     prompt = normalize_prompt(tokenizer, prompt, batch_size)
@@ -244,16 +252,29 @@ def generate(params, config: MIDIModelConfig, prompt: Optional[np.ndarray] = Non
         disable_channels=disable_channels)
     masks = _mask_arrays(table)
 
-    state = prefill(params, config, jnp.asarray(prompt), max_len,
+    remaining = max_len - p_len
+    chunk = chunk_size or remaining
+
+    def bucket_for(needed: int) -> int:
+        if chunk_size is None or not cache_buckets:
+            return max_len
+        for b in sorted(cache_buckets):
+            if b >= needed:
+                return min(b, max_len)
+        return max_len
+
+    cache_size = bucket_for(p_len + chunk)
+    state = prefill(params, config, jnp.asarray(prompt), cache_size,
                     kv_int8=kv_int8)
     key = jax.random.PRNGKey(seed)
 
-    remaining = max_len - p_len
-    chunk = chunk_size or remaining
     pieces = [prompt]
     produced = 0
     while produced < remaining:
         n = min(chunk, remaining - produced)
+        needed = p_len + produced + n
+        if needed > state.cache.k.shape[2]:
+            state = grow_cache(state, bucket_for(needed))
         key, sub = jax.random.split(key)
         state, rows, n_done = decode_events(
             params, config, state, masks, n, temp, top_p, top_k, sub,
