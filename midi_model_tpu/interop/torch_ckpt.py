@@ -26,7 +26,20 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
         return load_file(path)
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Lightning .ckpt files carry non-tensor pickle state that
+        # weights_only rejects. Full unpickling executes arbitrary code, so
+        # only fall back for checkpoints the user explicitly pointed us at,
+        # and say so.
+        import warnings
+
+        warnings.warn(
+            f"{path}: weights-only load failed; falling back to full pickle "
+            "unpickling. Only do this for checkpoints you trust.",
+            stacklevel=2)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in sd.items()}

@@ -100,6 +100,12 @@ class _TrackReader:
         return b
 
     def take(self, n: int) -> bytes:
+        # Clamp to the payload so an oversized declared length (malformed
+        # or malicious varint) truncates instead of pushing the cursor past
+        # ``end`` (a negative ``remaining()`` is truthy and corrupts the
+        # decode loop). Matches the native decoder and the reference's
+        # bytes-slicing behavior (/root/reference/MIDI.py:1268+).
+        n = min(n, self.end - self.pos)
         chunk = bytes(self.data[self.pos : self.pos + n])
         self.pos += n
         return chunk
@@ -143,6 +149,11 @@ def _decode_track(payload: bytes) -> list:
                     return []
             name, nparams = _CHANNEL_EVENTS[status & 0xF0]
             channel = status & 0x0F
+            # Truncated channel event: stop gracefully (the reference raises
+            # IndexError here and relies on callers to catch; we return the
+            # partial track instead, matching the native decoder).
+            if r.remaining() < nparams:
+                break
             if nparams == 1:
                 p0 = r.u8()
                 events.append([name, dtime, channel, p0])
@@ -177,15 +188,21 @@ def _decode_track(payload: bytes) -> list:
             events.append(["sysex_f0" if lead == 0xF0 else "sysex_f7", dtime, raw])
 
         elif lead == 0xF2:
+            if r.remaining() < 2:
+                break
             lo = r.u8()
             hi = r.u8()
             events.append(["song_position", dtime, lo | (hi << 7)])
         elif lead == 0xF3:
+            if r.remaining() < 1:
+                break
             events.append(["song_select", dtime, r.u8()])
         elif lead == 0xF6:
             events.append(["tune_request", dtime])
         elif lead > 0xF0:
             # Unknown F-series event: swallow one byte as raw data.
+            if r.remaining() < 1:
+                break
             events.append(["raw_data", dtime, r.u8()])
         else:  # pragma: no cover — unreachable (lead >= 0xF0 handled above)
             break

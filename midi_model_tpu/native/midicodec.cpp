@@ -28,15 +28,22 @@ struct Reader {
   uint8_t u8() { return data[pos++]; }
 
   // Big-endian base-128 varint; tolerates truncation (yields 0).
+  // The accumulator saturates at 2^55 so that a maliciously long varint
+  // (python-side this becomes an arbitrary-precision int) stays a huge
+  // POSITIVE value after the callers' (long) cast: downstream clamps
+  // (body_len = min(length, remaining), pos = min(start+length, end))
+  // then behave identically to the pure-Python codec instead of a signed
+  // overflow producing a negative length / out-of-bounds read.
   uint64_t varint() {
     if (pos >= end) return 0;
+    const uint64_t kSat = (uint64_t)1 << 55;
     uint64_t value = 0;
     for (;;) {
       uint8_t byte = data[pos++];
       value += byte & 0x7F;
       if (!(byte & 0x80)) return value;
       if (pos >= end) return 0;
-      value <<= 7;
+      value = value >= kSat ? kSat : value << 7;
     }
   }
 };

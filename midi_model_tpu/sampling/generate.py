@@ -241,10 +241,16 @@ def generate(params, config: MIDIModelConfig, prompt: Optional[np.ndarray] = Non
     """
     tokenizer = config.tokenizer
     prompt = normalize_prompt(tokenizer, prompt, batch_size)
+    # Only the model-visible window is truncated; the dropped head is kept
+    # and re-prepended to the returned sequence so continuation flows that
+    # consume the return value (service.last_output -> finish) keep the full
+    # history, like the reference app which tracks history host-side
+    # (/root/reference/app.py:53 truncates only the model input).
+    head = prompt[:, : max(0, prompt.shape[1] - context_limit)]
     prompt = prompt[:, -context_limit:]
     b, p_len, t_max = prompt.shape
     if p_len >= max_len:
-        return prompt
+        return np.concatenate([head, prompt], axis=1) if head.shape[1] else prompt
 
     table = build_mask_table(
         tokenizer, disable_patch_change=disable_patch_change,
@@ -268,7 +274,7 @@ def generate(params, config: MIDIModelConfig, prompt: Optional[np.ndarray] = Non
                     kv_int8=kv_int8)
     key = jax.random.PRNGKey(seed)
 
-    pieces = [prompt]
+    pieces = [head, prompt] if head.shape[1] else [prompt]
     produced = 0
     while produced < remaining:
         n = min(chunk, remaining - produced)

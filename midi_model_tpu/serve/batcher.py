@@ -6,7 +6,7 @@ with different prompts/budgets and leave when done, without ever stalling the
 other slots.  This batcher keeps a fixed ``n_slots``-row decode batch on
 device:
 
--每 slot has its own KV-cache length (``KVCache.index`` as a [B] vector — see
+- each slot has its own KV-cache length (``KVCache.index`` as a [B] vector — see
   models/llama.py's per-row decode support: per-row rope positions, per-row
   attention masks, sparse per-row cache writes);
 - prefill runs per request in a padded scratch cache and is spliced into the

@@ -202,3 +202,27 @@ def test_mask_table_semantics(setup):
     cid = tokenizer.parameter_ids["channel"][3]
     assert table.steps[off, ch_step, cid]
     assert not table2.steps[off, ch_step, cid]
+
+
+def test_long_prompt_head_preserved(setup):
+    """A prompt longer than context_limit truncates only the model-visible
+    window; the returned sequence re-prepends the dropped head so host-side
+    continuation flows keep the full history (reference keeps full history
+    host-side, /root/reference/app.py:53)."""
+    cfg, net, net_token, lm_head, params = setup
+    tokenizer = cfg.tokenizer
+    rng = np.random.default_rng(3)
+    p_len = 10
+    prompt = rng.integers(3, 20, (1, p_len, tokenizer.max_token_seq))
+    prompt[:, :, 0] = tokenizer.bos_id
+
+    limit = 6
+    out = generate(params, cfg, prompt=prompt, batch_size=1,
+                   max_len=limit + 4, greedy=True, context_limit=limit)
+    # the full prompt must be the head of the returned sequence
+    assert out.shape[1] >= p_len
+    np.testing.assert_array_equal(out[:, :p_len], prompt)
+    # and the visible-window decode must match running on the truncated prompt
+    direct = generate(params, cfg, prompt=prompt[:, -limit:], batch_size=1,
+                      max_len=limit + 4, greedy=True, context_limit=limit)
+    np.testing.assert_array_equal(out[:, p_len - limit:], direct)
