@@ -81,3 +81,37 @@ class CheckpointManager:
         host_params = jax.tree.map(np.asarray, params)
         save_safetensors(host_params, self.config, path, dtype=dtype)
         return path
+
+    def export_peft_adapter(self, lora: Any, rank: int = 64,
+                            alpha: float = 128.0,
+                            directory: Optional[str] = None) -> str:
+        """Write the adapter in peft layout (``adapter_model.safetensors`` +
+        ``adapter_config.json``), interoperable with the reference's LoRA
+        checkpoints (/root/reference/train.py:234-244, midi_model.py:109-114).
+        """
+        from safetensors.numpy import save_file
+
+        from ..models.lora import _PEFT_NAMES, lora_to_peft_state_dict
+
+        directory = directory or os.path.join(self.directory, "adapter")
+        os.makedirs(directory, exist_ok=True)
+        sd = {k: np.asarray(v, np.float32)
+              for k, v in lora_to_peft_state_dict(
+                  jax.tree.map(np.asarray, lora)).items()}
+        save_file(sd, os.path.join(directory, "adapter_model.safetensors"))
+        adapter_config = {
+            "peft_type": "LORA",
+            "task_type": None,
+            "r": rank,
+            "lora_alpha": alpha,
+            "lora_dropout": 0.0,
+            "bias": "none",
+            "fan_in_fan_out": False,
+            # peft matches on module-name suffixes (ref train.py:443:
+            # ["q_proj", ..., "down_proj"])
+            "target_modules": sorted({v.split(".")[-1]
+                                      for v in _PEFT_NAMES.values()}),
+        }
+        with open(os.path.join(directory, "adapter_config.json"), "w") as f:
+            json.dump(adapter_config, f, indent=2)
+        return directory

@@ -24,6 +24,10 @@ def parse_args(argv=None):
     p.add_argument("--config", type=str, default="tv2o-medium",
                    help="model config name or config.json path")
     p.add_argument("--task", type=str, default="train", choices=["train", "lora"])
+    p.add_argument("--lora-r", type=int, default=64,
+                   help="LoRA rank (ref train.py:441)")
+    p.add_argument("--lora-alpha", type=float, default=128.0,
+                   help="LoRA alpha (ref train.py:442)")
 
     p.add_argument("--data", type=str, default="data", help="dataset path")
     p.add_argument("--data-val-split", type=int, default=128)
@@ -123,26 +127,50 @@ def main(argv=None):
     if mesh is not None:
         params = shard_params(params, mesh, config, tp=tp > 1)
 
-    lora = None
-    if args.task == "lora":
-        from ..models import lora as lora_mod
-
-        lora = lora_mod.init_lora(jax.random.PRNGKey(args.seed + 1), params)
-        print("lora adapters initialized (r=64)")
-
     optimizer = make_optimizer(lr=args.lr, weight_decay=args.weight_decay,
                                warmup_steps=args.warmup_step,
                                total_steps=args.max_step,
                                grad_clip=args.grad_clip)
     compute_dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     token_chunk = args.token_chunk or (2048 if args.sample_seq else None)
-    step_fn = make_train_step(config, optimizer, accum_steps=args.acc_grad,
-                              compute_dtype=compute_dtype, mesh=mesh,
-                              tp=tp > 1, remat=args.remat,
-                              token_chunk=token_chunk)
-    state = init_train_state(params, optimizer)
-    if mesh is not None:
-        state = shard_train_state(state, mesh, config, tp=tp > 1)
+
+    if args.task == "lora":
+        # Adapter-only fine-tune (ref train.py:439-449): the train state holds
+        # ONLY the (A, B) factors; the frozen base is a separate step argument
+        # that the optimizer never touches. merged_params() materializes
+        # W + (α/r)·AᵀBᵀ for validation/sampling.
+        from ..models import lora as lora_mod
+        from .trainer import make_lora_train_step
+
+        lora = lora_mod.init_lora(jax.random.PRNGKey(args.seed + 1), params,
+                                  rank=args.lora_r)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            lora = jax.device_put(lora, NamedSharding(mesh, PartitionSpec()))
+        print(f"lora adapters initialized (r={args.lora_r}, "
+              f"alpha={args.lora_alpha})")
+        lora_step = make_lora_train_step(
+            config, optimizer, lora_alpha=args.lora_alpha,
+            accum_steps=args.acc_grad, compute_dtype=compute_dtype, mesh=mesh,
+            tp=tp > 1, remat=args.remat, token_chunk=token_chunk)
+        step_fn = lambda state, batch: lora_step(state, params, batch)  # noqa: E731
+        state = init_train_state(lora, optimizer)
+
+        def merged_params(state):
+            return lora_mod.merge_lora(params, state.params,
+                                       alpha=args.lora_alpha)
+    else:
+        step_fn = make_train_step(config, optimizer, accum_steps=args.acc_grad,
+                                  compute_dtype=compute_dtype, mesh=mesh,
+                                  tp=tp > 1, remat=args.remat,
+                                  token_chunk=token_chunk)
+        state = init_train_state(params, optimizer)
+        if mesh is not None:
+            state = shard_train_state(state, mesh, config, tp=tp > 1)
+
+        def merged_params(state):
+            return state.params
 
     ckpt_dir = os.path.join(args.out_dir, "checkpoints")
     mgr = CheckpointManager(ckpt_dir, config)
@@ -188,15 +216,20 @@ def main(argv=None):
                 "train/tokens_per_sec": tokens_per_batch / max(dt, 1e-9),
             })
         if args.val_step and step % args.val_step == 0:
+            eval_params = merged_params(state)
             val_metrics = run_validation(
-                eval_step, state.params, config, val_ds, args.batch_size_val,
+                eval_step, eval_params, config, val_ds, args.batch_size_val,
                 args.max_len)
             writer.log(step, {f"val/{k}": v for k, v in val_metrics.items()})
             mgr.save(step, state, metrics=val_metrics)
             if val_metrics["loss"] < best_val:
                 best_val = val_metrics["loss"]
-                mgr.export_safetensors(state.params)
-            gen_examples(state.params, config, val_ds, args, step)
+                if args.task == "lora":
+                    mgr.export_peft_adapter(state.params, rank=args.lora_r,
+                                            alpha=args.lora_alpha)
+                else:
+                    mgr.export_safetensors(state.params)
+            gen_examples(eval_params, config, val_ds, args, step)
         if stop_requested["flag"]:
             mgr.save(step, state)
             print(f"checkpointed at step {step}; exiting on signal")

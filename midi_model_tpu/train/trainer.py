@@ -190,6 +190,77 @@ def make_train_step(config: MIDIModelConfig, optimizer: optax.GradientTransforma
     return sharded_step
 
 
+def make_lora_train_step(config: MIDIModelConfig,
+                         optimizer: optax.GradientTransformation,
+                         lora_alpha: float = 128.0, accum_steps: int = 1,
+                         compute_dtype=jnp.bfloat16, mesh=None, tp: bool = False,
+                         remat: bool = False, token_chunk: Optional[int] = None):
+    """LoRA fine-tune step: ``step(state, base_params, batch)``.
+
+    The reference runs peft with the base model frozen
+    (/root/reference/train.py:439-449).  Here the adapters are the ONLY
+    leaves in ``state.params`` (and hence the only leaves the optimizer ever
+    sees), while the frozen base weights are a separate, non-donated argument
+    — base immutability holds by construction, not by a gradient mask.
+    Each microbatch differentiates through ``apply_lora`` (W + (α/r)·AᵀBᵀ),
+    so gradients exist only for the (A, B) factors.
+    """
+    from ..models.lora import apply_lora
+
+    def grads_one(lora, base_params, mb):
+        def lora_loss(lora):
+            effective = apply_lora(base_params, lora, alpha=lora_alpha)
+            return loss_fn(effective, config, mb, compute_dtype, remat=remat,
+                           token_chunk=token_chunk)
+
+        (_, metrics), grads = jax.value_and_grad(lora_loss, has_aux=True)(lora)
+        return grads, metrics
+
+    def train_step(state: TrainState, base_params, batch: jax.Array):
+        def scan_body(carry, mb):
+            acc_grads, acc_metrics = carry
+            grads, metrics = grads_one(state.params, base_params, mb)
+            return (jax.tree.map(jnp.add, acc_grads, grads),
+                    jax.tree.map(jnp.add, acc_metrics, metrics)), None
+
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        zero_metrics = {"loss": jnp.zeros(()), "acc": jnp.zeros(())}
+        (grads, metrics), _ = jax.lax.scan(
+            scan_body, (zero_grads, zero_metrics), batch)
+        scale = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        metrics = jax.tree.map(lambda m: m * scale, metrics)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        lora = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, lora, opt_state), metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pspecs = pmesh.param_shardings(mesh, config, tp)
+    batch_sharding = NamedSharding(mesh, P(None, pmesh.DATA_AXIS))
+    replicated = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def sharded_step(state: TrainState, base_params, batch: jax.Array):
+        batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+        base_params = jax.tree.map(
+            jax.lax.with_sharding_constraint, base_params, pspecs)
+        # adapters are tiny: replicate them (their gradient all-reduce is the
+        # only cross-device traffic of the update)
+        lora = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, replicated),
+            state.params)
+        state = TrainState(state.step, lora, state.opt_state)
+        return train_step(state, base_params, batch)
+
+    return sharded_step
+
+
 def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),

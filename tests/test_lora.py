@@ -76,3 +76,56 @@ def test_merged_model_still_runs(setup):
         0, cfg.tokenizer.vocab_size, (1, 4, 8)))
     h, _ = midinet.forward(merged, cfg, x)
     assert h.shape == (1, 4, cfg.n_embd)
+
+
+def test_peft_library_interop(setup, tmp_path):
+    """Our exported adapter loads through the REAL peft library onto a torch
+    replica of the reference model, and peft's merge_and_unload produces the
+    same effective weights as our merge_lora (ref midi_model.py:109-114)."""
+    peft = pytest.importorskip("peft")
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaModel
+
+    from midi_model_tpu.train.checkpoint import CheckpointManager
+
+    cfg, params = setup
+    rank, alpha = 4, 8.0
+    lora = init_lora(jax.random.PRNGKey(2), params, rank=rank)
+    # make the delta nonzero everywhere
+    lora = jax.tree.map(
+        lambda x: x + 0.01 if x.ndim == 3 else x, lora)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), cfg)
+    adapter_dir = mgr.export_peft_adapter(lora, rank=rank, alpha=alpha)
+
+    def hf(tc):
+        return LlamaModel(LlamaConfig(
+            vocab_size=tc.vocab_size, hidden_size=tc.hidden_size,
+            num_hidden_layers=tc.num_layers, num_attention_heads=tc.num_heads,
+            num_key_value_heads=tc.num_kv_heads or tc.num_heads,
+            intermediate_size=tc.intermediate_size,
+            max_position_embeddings=tc.max_position_embeddings,
+            rms_norm_eps=tc.rms_norm_eps, rope_theta=tc.rope_theta,
+            attention_bias=False))
+
+    class Replica(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = hf(cfg.net)
+            self.net_token = hf(cfg.net_token)
+            self.lm_head = torch.nn.Linear(
+                cfg.n_embd, cfg.tokenizer.vocab_size, bias=False)
+
+    torch.manual_seed(0)
+    replica = Replica()
+    w_before = replica.net.layers[0].self_attn.q_proj.weight.detach().clone()
+    wrapped = peft.PeftModel.from_pretrained(replica, adapter_dir)
+    merged = wrapped.merge_and_unload()
+    w_after = merged.net.layers[0].self_attn.q_proj.weight.detach()
+
+    # peft's merged delta == ours: (alpha/r) * B @ A in torch [out, in] layout
+    a = np.asarray(lora["net"]["wq"]["a"][0])  # [r, in]
+    b = np.asarray(lora["net"]["wq"]["b"][0])  # [out, r]
+    expect_delta = (b @ a) * (alpha / rank)
+    got_delta = (w_after - w_before).numpy()
+    np.testing.assert_allclose(got_delta, expect_delta, atol=1e-5)

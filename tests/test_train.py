@@ -194,3 +194,56 @@ def test_dataloader_process_pool(cfg, midi_dir):
     b1 = next(loader)
     b2 = next(loader)
     assert b1.shape == b2.shape == (2, 32, cfg.tokenizer.max_token_seq)
+
+
+def test_lora_training_freezes_base(cfg, batch, tmp_path):
+    """End-to-end LoRA fine-tune (VERDICT r1 item 2): after N steps the base
+    params are bit-unchanged, the loss decreases, and the exported
+    adapter_model.safetensors round-trips through the peft loader into a
+    merged model that differs from base. (Ref: train.py:439-449, 234-244.)"""
+    from midi_model_tpu.models.lora import (
+        init_lora, load_peft_adapter, merge_lora)
+    from midi_model_tpu.train.checkpoint import CheckpointManager
+    from midi_model_tpu.train.trainer import make_lora_train_step
+
+    base = fresh_params(cfg)
+    base_before = jax.tree.map(lambda x: np.asarray(x).copy(), base)
+    lora = init_lora(jax.random.PRNGKey(1), base, rank=4)
+    opt = make_optimizer(lr=1e-2, warmup_steps=1, total_steps=1000)
+    step = make_lora_train_step(cfg, opt, lora_alpha=8.0, accum_steps=2,
+                                compute_dtype=jnp.float32)
+    state = init_train_state(lora, opt)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, base, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+    # base params bit-identical after training
+    flat_before = jax.tree_util.tree_flatten_with_path(base_before)[0]
+    flat_after = {jax.tree_util.keystr(p): np.asarray(v)
+                  for p, v in jax.tree_util.tree_flatten_with_path(base)[0]}
+    for p, v in flat_before:
+        np.testing.assert_array_equal(v, flat_after[jax.tree_util.keystr(p)],
+                                      err_msg=jax.tree_util.keystr(p))
+
+    # adapters actually moved
+    b_leaf = np.asarray(state.params["net"]["wq"]["b"])
+    assert np.abs(b_leaf).max() > 0
+
+    # peft export -> load -> merge parity with in-memory merge
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), cfg)
+    adapter_dir = mgr.export_peft_adapter(state.params, rank=4, alpha=8.0)
+    loaded = load_peft_adapter(
+        str(Path(adapter_dir) / "adapter_model.safetensors"), cfg)
+    merged_a = merge_lora(base, state.params, alpha=8.0)
+    merged_b = merge_lora(base, loaded, alpha=8.0)
+    for t in ("wq", "w_down"):
+        np.testing.assert_allclose(
+            np.asarray(merged_a["net"]["layers"][t]),
+            np.asarray(merged_b["net"]["layers"][t]), atol=1e-6)
+        assert np.abs(np.asarray(merged_a["net"]["layers"][t])
+                      - np.asarray(base["net"]["layers"][t])).max() > 0
+    import json as _json
+    acfg = _json.loads((Path(adapter_dir) / "adapter_config.json").read_text())
+    assert acfg["r"] == 4 and "q_proj" in acfg["target_modules"]
