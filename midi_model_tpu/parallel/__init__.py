@@ -4,10 +4,13 @@ from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    host_local_batch_to_global,
     make_mesh,
+    process_shard,
     param_shardings,
     param_specs,
     replicated,
+    replicated_from_local,
     shard_params,
     shard_train_state,
 )
@@ -16,10 +19,13 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
+    "host_local_batch_to_global",
     "make_mesh",
+    "process_shard",
     "param_shardings",
     "param_specs",
     "replicated",
+    "replicated_from_local",
     "shard_params",
     "shard_train_state",
 ]

@@ -86,6 +86,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_shard(seq: Sequence) -> list:
+    """This host's shard of a dataset file list: ``seq[pid::pcount]``.
+
+    Every process must hold a DISJOINT slice of the corpus — the reference
+    gets this from Lightning's DistributedSampler (train.py:461-474); here
+    the round-robin split plays that role (callers shuffle first with a
+    seed shared by all processes, so the slices partition the corpus).
+    """
+    return list(seq)[jax.process_index()::jax.process_count()]
+
+
+def host_local_batch_to_global(batch, mesh: Mesh,
+                               spec: Optional[P] = None) -> jax.Array:
+    """Assemble the global batch from each process's local rows.
+
+    ``batch`` is this host's rows only (global_batch / process_count of
+    them along the sharded axis).  Under a single process this is just a
+    sharded device_put; under multihost it builds a global
+    jax.Array whose addressable shards are this host's data —
+    ``jnp.asarray`` alone would make a process-local array that cannot
+    satisfy a global ``data``-axis sharding.
+    """
+    if spec is None:
+        spec = P(None, DATA_AXIS)  # [accum, batch, ...] microbatch layout
+    sharding = NamedSharding(mesh, spec)
+    local = np.asarray(batch)
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
+def replicated_from_local(batch, mesh: Mesh) -> jax.Array:
+    """A fully-replicated global array from identical per-host data (used for
+    validation batches, which every process loads identically)."""
+    sharding = NamedSharding(mesh, P())
+    local = np.asarray(batch)
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
 def shard_params(params, mesh: Mesh, config: MIDIModelConfig, tp: bool = True):
     """Place a parameter pytree onto the mesh with TP shardings."""
     shardings = param_shardings(mesh, config, tp)

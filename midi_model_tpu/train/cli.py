@@ -74,7 +74,9 @@ def main(argv=None):
 
     from ..models import MIDIModelConfig, midinet
     from ..models.config import CONFIG_NAMES
-    from ..parallel import make_mesh, shard_params, shard_train_state
+    from ..parallel import (host_local_batch_to_global, make_mesh,
+                            process_shard, replicated_from_local, shard_params,
+                            shard_train_state)
     from .checkpoint import CheckpointManager
     from .data import DataLoader, MidiDataset, find_midi_files
     from .metrics import MetricsWriter
@@ -98,17 +100,33 @@ def main(argv=None):
     tokenizer = config.tokenizer
 
     midi_files = find_midi_files(args.data)
-    random.shuffle(midi_files)
+    random.shuffle(midi_files)  # same seed on every process -> same order
     split = len(midi_files) - args.data_val_split
     train_files, val_files = midi_files[:split], midi_files[split:]
-    print(f"train: {len(train_files)}  val: {len(val_files)}")
+
+    # Multihost data feeding: each process loads a DISJOINT slice of the
+    # corpus and only its share of every global batch; the global batch is
+    # assembled via jax.make_array_from_process_local_data in the step loop.
+    # Validation files are NOT sharded — every process evaluates the same
+    # batches (replicated), so checkpoint decisions agree across hosts.
+    process_count = jax.process_count()
+    if process_count > 1:
+        train_files = process_shard(train_files)
+    if args.batch_size_train % process_count:
+        raise ValueError(
+            f"--batch-size-train={args.batch_size_train} (global) not "
+            f"divisible by process_count={process_count}")
+    local_bs = args.batch_size_train // process_count
+    local_rows = local_bs * args.acc_grad
+    print(f"train: {len(train_files)} (this process)  val: {len(val_files)}")
 
     train_ds = MidiDataset(train_files, tokenizer, max_len=args.max_len,
                            aug=True, check_quality=args.quality, rand_start=True)
     val_ds = MidiDataset(val_files, tokenizer, max_len=args.max_len,
                          aug=False, check_quality=args.quality, rand_start=False)
-    loader = iter(DataLoader(train_ds, args.batch_size_train * args.acc_grad,
-                             workers=args.workers_train, seed=args.seed))
+    loader = iter(DataLoader(train_ds, local_rows,
+                             workers=args.workers_train,
+                             seed=args.seed + jax.process_index()))
 
     devices = jax.devices()
     tp = args.tp
@@ -203,9 +221,12 @@ def main(argv=None):
                         * tokenizer.max_token_seq)
     while int(state.step) < args.max_step:
         batch = next(loader)
-        batch = batch.reshape(args.acc_grad, args.batch_size_train,
-                              *batch.shape[1:])
-        state, metrics = step_fn(state, jnp.asarray(batch))
+        batch = batch.reshape(args.acc_grad, local_bs, *batch.shape[1:])
+        if mesh is not None:
+            batch = host_local_batch_to_global(batch, mesh)
+        else:
+            batch = jnp.asarray(batch)
+        state, metrics = step_fn(state, batch)
         step = int(state.step)
         if step % args.log_step == 0:
             dt = time.time() - t0
@@ -217,19 +238,23 @@ def main(argv=None):
             })
         if args.val_step and step % args.val_step == 0:
             eval_params = merged_params(state)
+            globalize = ((lambda b: replicated_from_local(b, mesh))
+                         if mesh is not None else jnp.asarray)
             val_metrics = run_validation(
                 eval_step, eval_params, config, val_ds, args.batch_size_val,
-                args.max_len)
+                args.max_len, globalize=globalize)
             writer.log(step, {f"val/{k}": v for k, v in val_metrics.items()})
-            mgr.save(step, state, metrics=val_metrics)
+            mgr.save(step, state, metrics=val_metrics)  # all processes join
             if val_metrics["loss"] < best_val:
                 best_val = val_metrics["loss"]
-                if args.task == "lora":
-                    mgr.export_peft_adapter(state.params, rank=args.lora_r,
-                                            alpha=args.lora_alpha)
-                else:
-                    mgr.export_safetensors(state.params)
-            gen_examples(eval_params, config, val_ds, args, step)
+                if jax.process_index() == 0:
+                    if args.task == "lora":
+                        mgr.export_peft_adapter(state.params, rank=args.lora_r,
+                                                alpha=args.lora_alpha)
+                    else:
+                        mgr.export_safetensors(state.params)
+            if jax.process_index() == 0:
+                gen_examples(eval_params, config, val_ds, args, step)
         if stop_requested["flag"]:
             mgr.save(step, state)
             print(f"checkpointed at step {step}; exiting on signal")
@@ -239,9 +264,10 @@ def main(argv=None):
 
 
 def run_validation(eval_step, params, config, val_ds, batch_size, max_len,
-                   max_batches: int = 16):
+                   max_batches: int = 16, globalize=None):
     import jax.numpy as jnp
 
+    globalize = globalize or jnp.asarray
     losses, accs = [], []
     idx = 0
     for _ in range(max_batches):
@@ -254,7 +280,7 @@ def run_validation(eval_step, params, config, val_ds, batch_size, max_len,
         if not items:
             break
         batch = val_ds.collate(items, pad_to=max_len)
-        m = eval_step(params, config, jnp.asarray(batch))
+        m = eval_step(params, config, globalize(batch))
         losses.append(float(m["loss"]))
         accs.append(float(m["acc"]))
     if not losses:
