@@ -257,4 +257,66 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="",
+                    help="hub repo id or local .safetensors of the pretrained "
+                         "model; captures north-star parity goldens")
+    args = ap.parse_args()
+    if args.checkpoint:
+        make_checkpoint_golden(args.checkpoint)
+    else:
+        main()
+
+
+def make_checkpoint_golden(ckpt: str):
+    """Capture pretrained-checkpoint goldens (north-star parity).
+
+    Requires hub access or a local checkpoint path — this container has zero
+    egress, so this mode is documented-blocked until run elsewhere
+    (BASELINE.md).  Writes tests/golden/checkpoint_parity.pkl with the fp32
+    state dict, fp32 logits on a fixed prompt, and a 64-event greedy decode
+    captured from the reference implementation (midi_model.py:167-250).
+    """
+    import numpy as np
+    import torch
+    from midi_model import MIDIModel, MIDIModelConfig  # reference
+
+    config = MIDIModelConfig.from_name("tv2o-medium")
+    model = MIDIModel(config)
+    if ckpt.endswith(".safetensors") or "/" not in ckpt or Path(ckpt).exists():
+        try:
+            from safetensors.torch import load_file
+
+            model.load_state_dict(load_file(ckpt), strict=False)
+        except Exception:
+            from huggingface_hub import hf_hub_download
+
+            path = hf_hub_download(ckpt, "model.safetensors")
+            from safetensors.torch import load_file
+
+            model.load_state_dict(load_file(path), strict=False)
+    model = model.float().eval()
+
+    tokenizer = model.tokenizer
+    prompt = np.full((1, 1, tokenizer.max_token_seq), tokenizer.pad_id,
+                     dtype=np.int64)
+    prompt[0, 0, 0] = tokenizer.bos_id
+    with torch.no_grad():
+        hidden = model.forward(torch.from_numpy(prompt))
+        logits = model.forward_token(hidden[:, -1:].squeeze(1))
+        decode = model.generate(prompt[0], batch_size=1, max_len=64,
+                                temp=1.0, top_p=1.0, top_k=1)  # greedy
+    golden = {
+        "config": "tv2o-medium",
+        "state_dict": {k: v.float().numpy() for k, v in
+                       model.state_dict().items()},
+        "prompt": prompt,
+        "logits": logits.numpy(),
+        "greedy_64": np.asarray(decode),
+    }
+    out = OUT_DIR / "checkpoint_parity.pkl"
+    with open(out, "wb") as f:
+        pickle.dump(golden, f)
+    print(f"wrote {out}")
