@@ -78,9 +78,13 @@ def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("new_size",), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("new_size",))
 def grow_cache(state: GenState, new_size: int) -> GenState:
     """Grow the event cache to ``new_size`` positions (one copy).
+
+    NOT donated: the padded output cannot reuse the smaller input buffers, so
+    donation would only produce "donated buffers were not usable" warnings —
+    the old cache is freed as soon as the caller rebinds ``state``.
 
     Decode attention reads the whole static cache every step, so running the
     early portion of a long generation in a smaller cache and growing it at
@@ -162,7 +166,8 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "n_events_chunk", "greedy"))
+                   static_argnames=("config", "n_events_chunk", "greedy"),
+                   donate_argnums=(2,))
 def decode_events(params, config: MIDIModelConfig, state: GenState, masks,
                   n_events_chunk: int, temp, top_p, top_k, key,
                   greedy: bool = False):
@@ -171,6 +176,10 @@ def decode_events(params, config: MIDIModelConfig, state: GenState, masks,
     Stops early (masked no-op iterations) once every batch row emitted eos in
     the same event, or the event cache is full.  Returns (state, rows
     [B, n_events_chunk, T], n_done) where rows beyond n_done are pad.
+
+    The GenState is DONATED: the multi-GB event KV cache is carried in place
+    across dispatches instead of being copied once per chunk (callers must
+    rebind ``state`` to the returned value, which every call site does).
     """
     b = state.hidden.shape[0]
     t_max = config.tokenizer.max_token_seq
