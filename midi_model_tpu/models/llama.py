@@ -336,3 +336,71 @@ def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
 def embed_tokens(params: dict, tokens: jax.Array) -> jax.Array:
     """Token-id lookup into this stack's embedding table."""
     return jnp.take(params["embed"], tokens, axis=0)
+
+
+def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
+                 k_pool: jax.Array, v_pool: jax.Array, index: jax.Array,
+                 active: Optional[jax.Array] = None, *, page_size: int,
+                 pages_per_slot: int, pages_per_compute_block: int = 4,
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One-token decode step over a paged KV pool (continuous batching).
+
+    x: [B, D] input embeddings; index: int32 [B] per-slot lengths BEFORE this
+    token; active: bool [B] — inactive slots' attention is skipped entirely
+    by the paged kernel (their lengths are forced to 0) and their compute is
+    garbage the caller must mask. Pools are
+    ``[Hkv, L*B*pages_per_slot, page_size, D]`` with the layer axis folded
+    into the page axis (see ops/paged.py) so they flow through the layer
+    ``lax.scan`` without per-layer slicing.
+
+    Returns (hidden [B, D], k_pool, v_pool). Writes for rows at capacity are
+    clamped to the last position (callers must retire such slots).
+    """
+    from ..ops.paged import kv_append, paged_attention
+
+    b, d = x.shape
+    h, hkv, dh = cfg.num_heads, cfg.kv_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    pps = pages_per_slot
+    capacity = pps * page_size
+
+    if active is None:
+        active = jnp.ones((b,), bool)
+    write_pos = jnp.clip(index, 0, capacity - 1)
+    lengths = jnp.where(active, jnp.minimum(index + 1, capacity), 0)
+    cos, sin = rope_cos_sin(index[:, None].astype(jnp.int32), dh,
+                            cfg.rope_theta)  # [B, 1, Dh]
+    scale = dh ** -0.5
+    slot_ids = jnp.arange(b, dtype=jnp.int32)
+    page_iota = jnp.arange(pps, dtype=jnp.int32)
+
+    def body(carry, lp):
+        xx, kp, vp, li = carry
+        hc = rms_norm(xx[:, None, :], lp["ln_attn"], eps)
+        q = (hc @ lp["wq"]).reshape(b, 1, h, dh)
+        k = (hc @ lp["wk"]).reshape(b, 1, hkv, dh)
+        v = (hc @ lp["wv"]).reshape(b, 1, hkv, dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        page_base = (li * b + slot_ids) * pps
+        kp, vp = kv_append(kp, vp, k[:, 0], v[:, 0],
+                           page_base + write_pos // page_size,
+                           write_pos % page_size)
+        page_indices = page_base[:, None] + page_iota[None, :]
+        # q pre-scaled in fp32 (the kernel has no internal scaling; fp32
+        # matches the dense path's fp32-score scaling for HF parity)
+        attn = paged_attention(
+            q[:, 0].astype(jnp.float32) * scale, kp, vp, lengths, page_indices,
+            pages_per_compute_block=pages_per_compute_block)
+        xx = xx + attn.reshape(b, h * dh).astype(xx.dtype) @ lp["wo"]
+
+        hm = rms_norm(xx, lp["ln_mlp"], eps)
+        gated = jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])
+        xx = xx + gated @ lp["w_down"]
+        return (xx, kp, vp, li + 1), None
+
+    (x, k_pool, v_pool, _), _ = jax.lax.scan(
+        body, (x, k_pool, v_pool, jnp.zeros((), jnp.int32)), params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, k_pool, v_pool

@@ -6,13 +6,17 @@ with different prompts/budgets and leave when done, without ever stalling the
 other slots.  This batcher keeps a fixed ``n_slots``-row decode batch on
 device:
 
-- each slot has its own KV-cache length (``KVCache.index`` as a [B] vector — see
-  models/llama.py's per-row decode support: per-row rope positions, per-row
-  attention masks, sparse per-row cache writes);
+- the event-level KV cache is a PAGED POOL (ops/paged.py): per-slot page
+  ranges, layer axis folded into the page axis, reads via the Pallas paged
+  flash-decode kernel (traffic scales with actual slot lengths; idle slots
+  are skipped entirely), writes via a one-page Pallas append kernel — this
+  replaced round 1's dense one-hot blend, which rewrote a full cache slice
+  per layer per token;
 - prefill runs per request in a padded scratch cache and is spliced into the
-  slot's rows of the shared ring cache in one dynamic-update-slice;
-- one jitted ``_step`` decodes a chunk of events for all slots; inactive
-  slots are pad-masked and their cache length does not advance;
+  slot's page range with one dynamic-update-slice per layer;
+- one jitted ``_step`` decodes a chunk of events for all slots; a device-side
+  ``alive`` mask retires slots MID-CHUNK on their eos row or at cache
+  capacity (no silent decode past either), and their attention reads stop;
 - the host loop collects rows per slot, retires slots on an eos row or
   exhausted budget, and immediately reuses them for queued requests.
 
@@ -79,27 +83,62 @@ def _prefill_request(params, config: MIDIModelConfig, prompt: jax.Array,
     return cache.k, cache.v, h_last
 
 
-@functools.partial(jax.jit, donate_argnums=(2, 3), static_argnames=())
-def _splice_slot(slot, p_len, cache_k, cache_v, hidden_all, index_all,
-                 pre_k, pre_v, h_last):
-    """Install a prefilled request into slot ``slot`` of the shared state."""
-    cache_k = jax.lax.dynamic_update_slice(
-        cache_k, pre_k, (0, slot, 0, 0, 0))
-    cache_v = jax.lax.dynamic_update_slice(
-        cache_v, pre_v, (0, slot, 0, 0, 0))
+@functools.partial(jax.jit, donate_argnums=(2, 3),
+                   static_argnames=("page_size", "pages_per_slot", "n_slots"))
+def _splice_slot(slot, p_len, k_pool, v_pool, hidden_all, index_all,
+                 pre_k, pre_v, h_last, *, page_size: int, pages_per_slot: int,
+                 n_slots: int):
+    """Install a prefilled request into slot ``slot``'s page range.
+
+    pre_k/pre_v: dense prefill cache [L, 1, bucket, Hkv, D] (bucket a multiple
+    of page_size); repaged to [L, Hkv, bucket/ps, ps, D] and written with one
+    dynamic-update-slice per layer at the slot's (layer-folded) page base.
+    """
+    l_n, _, bucket, hkv, d = pre_k.shape
+    n_pages = bucket // page_size
+    d_pool = k_pool.shape[-1]
+    pre_k = jnp.transpose(pre_k[:, 0], (0, 2, 1, 3)).reshape(
+        l_n, hkv, n_pages, page_size, d)
+    pre_v = jnp.transpose(pre_v[:, 0], (0, 2, 1, 3)).reshape(
+        l_n, hkv, n_pages, page_size, d)
+    if d < d_pool:  # pools are lane-padded (ops/paged.py)
+        pad = [(0, 0)] * 4 + [(0, d_pool - d)]
+        pre_k = jnp.pad(pre_k, pad)
+        pre_v = jnp.pad(pre_v, pad)
+
+    def body(carry, pre):
+        kp, vp, li = carry
+        pk, pv = pre
+        base = (li * n_slots + slot) * pages_per_slot
+        kp = jax.lax.dynamic_update_slice(kp, pk.astype(kp.dtype),
+                                          (0, base, 0, 0))
+        vp = jax.lax.dynamic_update_slice(vp, pv.astype(vp.dtype),
+                                          (0, base, 0, 0))
+        return (kp, vp, li + 1), None
+
+    (k_pool, v_pool, _), _ = jax.lax.scan(
+        body, (k_pool, v_pool, jnp.zeros((), jnp.int32)), (pre_k, pre_v))
     hidden_all = hidden_all.at[slot].set(h_last)
     index_all = index_all.at[slot].set(p_len)
-    return cache_k, cache_v, hidden_all, index_all
+    return k_pool, v_pool, hidden_all, index_all
 
 
 @functools.partial(jax.jit, donate_argnums=(2,),
-                   static_argnames=("config", "chunk", "greedy"))
+                   static_argnames=("config", "chunk", "greedy", "page_size",
+                                    "pages_per_slot"))
 def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
-          top_k, key, chunk: int, greedy: bool = False):
+          top_k, key, chunk: int, greedy: bool = False, *, page_size: int,
+          pages_per_slot: int):
     """Decode ``chunk`` events for all slots (one dispatch).
 
-    carry = (cache_k, cache_v, index [B], hidden [B, D]).
+    carry = (k_pool, v_pool, index [B], hidden [B, D]).
     Returns (carry, rows [B, chunk, T]).
+
+    A device-side ``alive`` mask retires a slot mid-chunk the moment it emits
+    an eos row or reaches cache capacity: its later rows are pad, its index
+    stops advancing, and the paged attention kernel skips it entirely —
+    no wasted decode past retirement (round-1 weakness #3) and no silent
+    writes past capacity (advisor finding #3).
     """
     first, steps_tbl, pad_only = masks
     tok_cfg = config.net_token
@@ -108,11 +147,12 @@ def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
     eos_id = config.tokenizer.eos_id
     first_event_id = eos_id + 1
     n_events = len(config.tokenizer.events)
-    cache_k, cache_v, index, hidden = carry
+    k_pool, v_pool, index, hidden = carry
     b = hidden.shape[0]
+    capacity = page_size * pages_per_slot
 
     def one_event(carry, ev_key):
-        cache_k, cache_v, index, hidden = carry
+        k_pool, v_pool, index, hidden, alive = carry
         cache2 = KVCache.zeros(tok_cfg, b, t_max, dtype=dtype)
 
         def token_step(tc, xs):
@@ -129,7 +169,7 @@ def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
             step_mask = steps_tbl[e_off, i]
             mask = jnp.where(i == 0, first[None, :], step_mask)
             mask = jnp.where(ended[:, None], pad_only[None, :], mask)
-            mask = jnp.where(active[:, None], mask, pad_only[None, :])
+            mask = jnp.where(alive[:, None], mask, pad_only[None, :])
             probs = probs * mask
             if greedy:
                 tok = jnp.argmax(probs, axis=-1).astype(jnp.int32)
@@ -148,40 +188,52 @@ def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
         _, toks = jax.lax.scan(token_step, init, (jnp.arange(t_max), keys))
         row = toks.T  # [B, T]
 
-        emb = midinet.embed_events(params, row[:, None, :])
-        ev_cache = KVCache(cache_k, cache_v, index)
-        h, ev_cache = llama.forward(params["net"], config.net, emb,
-                                    cache=ev_cache)
-        # only active slots advance / take the new hidden
-        new_index = jnp.where(active, index + 1, index)
-        hidden_new = jnp.where(active[:, None], h[:, 0], hidden)
-        return (ev_cache.k, ev_cache.v, new_index, hidden_new), row
+        emb = midinet.embed_events(params, row[:, None, :])[:, 0]
+        h, k_pool, v_pool = llama.decode_paged(
+            params["net"], config.net, emb.astype(dtype), k_pool, v_pool,
+            index, alive, page_size=page_size, pages_per_slot=pages_per_slot)
+        # only live slots advance / take the new hidden
+        new_index = jnp.where(alive, jnp.minimum(index + 1, capacity), index)
+        hidden_new = jnp.where(alive[:, None], h, hidden)
+        # mid-chunk retirement: the eos row itself still went through the
+        # event net (aligned-loop parity) but nothing after it does
+        alive = alive & (row[:, 0] != eos_id) & (new_index < capacity)
+        return (k_pool, v_pool, new_index, hidden_new, alive), row
 
     keys = jax.random.split(key, chunk)
-    carry, rows = jax.lax.scan(one_event, (cache_k, cache_v, index, hidden), keys)
-    return carry, jnp.transpose(rows, (1, 0, 2))
+    (k_pool, v_pool, index, hidden, _), rows = jax.lax.scan(
+        one_event, (k_pool, v_pool, index, hidden, active), keys)
+    return (k_pool, v_pool, index, hidden), jnp.transpose(rows, (1, 0, 2))
 
 
 class ContinuousBatcher:
     def __init__(self, params, config: MIDIModelConfig, n_slots: int = 8,
                  max_seq: int = 4096, chunk: int = 16, temp: float = 1.0,
                  top_p: float = 0.98, top_k: int = 20, seed: int = 0,
-                 disable_eos: bool = False, greedy: bool = False):
+                 disable_eos: bool = False, greedy: bool = False,
+                 page_size: int = 64):
         self.greedy = greedy
         self.params = params
         self.config = config
         self.tokenizer = config.tokenizer
         self.n_slots = n_slots
+        self.page_size = page_size
+        if max_seq % page_size:
+            max_seq = ((max_seq + page_size - 1) // page_size) * page_size
         self.max_seq = max_seq
+        self.pages_per_slot = max_seq // page_size
         self.chunk = chunk
         self.temp, self.top_p, self.top_k = temp, top_p, top_k
         self.masks = _mask_arrays(build_mask_table(config.tokenizer,
                                                    disable_eos=disable_eos))
         dtype = params["lm_head"].dtype
-        cache = KVCache.zeros(config.net, n_slots, max_seq, dtype=dtype,
-                              per_row=True)
-        self._cache_k, self._cache_v = cache.k, cache.v
-        self._index = cache.index
+        net = config.net
+        from ..ops.paged import alloc_pools
+
+        n_pages = net.num_layers * n_slots * self.pages_per_slot
+        self._k_pool, self._v_pool = alloc_pools(
+            net.kv_heads, n_pages, page_size, net.head_dim, dtype)
+        self._index = jnp.zeros((n_slots,), jnp.int32)
         self._hidden = jnp.zeros((n_slots, config.n_embd), dtype)
         self._active = np.zeros((n_slots,), bool)
         self.slots = [_Slot() for _ in range(n_slots)]
@@ -212,17 +264,20 @@ class ContinuousBatcher:
 
     def _install(self, slot: int, rid: int, prompt: np.ndarray, budget: int):
         p_len = prompt.shape[0]
+        ps = self.page_size
         bucket = next(b for b in PREFILL_BUCKETS if b >= p_len)
+        bucket = ((bucket + ps - 1) // ps) * ps  # whole pages
         padded = np.full((1, bucket, self.tokenizer.max_token_seq),
                          self.tokenizer.pad_id, np.int32)
         padded[0, :p_len] = prompt
         pre_k, pre_v, h_last = _prefill_request(
             self.params, self.config, jnp.asarray(padded),
             jnp.asarray(p_len, jnp.int32), bucket)
-        (self._cache_k, self._cache_v, self._hidden, self._index) = _splice_slot(
+        (self._k_pool, self._v_pool, self._hidden, self._index) = _splice_slot(
             jnp.asarray(slot, jnp.int32), jnp.asarray(p_len, jnp.int32),
-            self._cache_k, self._cache_v, self._hidden, self._index,
-            pre_k, pre_v, h_last)
+            self._k_pool, self._v_pool, self._hidden, self._index,
+            pre_k, pre_v, h_last, page_size=ps,
+            pages_per_slot=self.pages_per_slot, n_slots=self.n_slots)
         s = self.slots[slot]
         s.request_id = rid
         s.active = True
@@ -244,11 +299,13 @@ class ContinuousBatcher:
             if not self._active.any():
                 return []
         self._key, sub = jax.random.split(self._key)
-        carry = (self._cache_k, self._cache_v, self._index, self._hidden)
+        carry = (self._k_pool, self._v_pool, self._index, self._hidden)
         carry, rows = _step(self.params, self.config, carry, self.masks,
                             jnp.asarray(self._active), self.temp, self.top_p,
-                            self.top_k, sub, self.chunk, self.greedy)
-        (self._cache_k, self._cache_v, self._index, self._hidden) = carry
+                            self.top_k, sub, self.chunk, self.greedy,
+                            page_size=self.page_size,
+                            pages_per_slot=self.pages_per_slot)
+        (self._k_pool, self._v_pool, self._index, self._hidden) = carry
         rows = np.asarray(rows)  # [B, chunk, T]
         # one host fetch for all slots: indexing the device array per slot
         # costs a full tunnel round-trip each time (~30 ms × B × chunk!)
@@ -256,6 +313,7 @@ class ContinuousBatcher:
 
         finished: List[Finished] = []
         eos_id = self.tokenizer.eos_id
+        pad_id = self.tokenizer.pad_id
         for b, slot in enumerate(self.slots):
             if not slot.active:
                 continue
@@ -264,13 +322,18 @@ class ContinuousBatcher:
                 done_reason = None
                 if row[0] == eos_id:
                     done_reason = "eos"
+                elif row[0] == pad_id:
+                    # the device-side alive mask retired this slot earlier in
+                    # the chunk (cache capacity); rows from there on are pad
+                    done_reason = "budget"
                 else:
                     slot.rows.append(row)
                     slot.produced += 1
                     if slot.produced >= slot.budget:
                         done_reason = "budget"
-                # cache overflow guard
-                if done_reason is None and int(index_host[b]) >= self.max_seq - 1:
+                # cache at capacity: the device clamps index at max_seq and
+                # stops decoding this slot — retire it
+                if done_reason is None and int(index_host[b]) >= self.max_seq:
                     done_reason = "budget"
                 if done_reason:
                     finished.append(Finished(
