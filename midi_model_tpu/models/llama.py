@@ -355,19 +355,27 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
 
     Returns (hidden [B, D], k_pool, v_pool). Writes for rows at capacity are
     clamped to the last position (callers must retire such slots).
+
+    The fresh token is NOT written before attention: the kernel attends the
+    cached history (lengths = index) and returns flash stats (m, l), and the
+    token's self-attention term merges analytically. This lets all layers'
+    pool writes batch into ONE kv_append kernel call per event (the
+    per-layer writes were a measurable per-call overhead at short lengths).
     """
-    from ..ops.paged import kv_append, paged_attention
+    from ..ops.paged import kv_append, paged_attention_stats
 
     b, d = x.shape
     h, hkv, dh = cfg.num_heads, cfg.kv_heads, cfg.head_dim
+    groups = h // hkv
     eps = cfg.rms_norm_eps
     pps = pages_per_slot
     capacity = pps * page_size
+    n_layers = cfg.num_layers
 
     if active is None:
         active = jnp.ones((b,), bool)
     write_pos = jnp.clip(index, 0, capacity - 1)
-    lengths = jnp.where(active, jnp.minimum(index + 1, capacity), 0)
+    lengths = jnp.where(active, jnp.minimum(index, capacity), 0)
     cos, sin = rope_cos_sin(index[:, None].astype(jnp.int32), dh,
                             cfg.rope_theta)  # [B, 1, Dh]
     scale = dh ** -0.5
@@ -375,32 +383,54 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
     page_iota = jnp.arange(pps, dtype=jnp.int32)
 
     def body(carry, lp):
-        xx, kp, vp, li = carry
+        xx, li = carry
         hc = rms_norm(xx[:, None, :], lp["ln_attn"], eps)
         q = (hc @ lp["wq"]).reshape(b, 1, h, dh)
         k = (hc @ lp["wk"]).reshape(b, 1, hkv, dh)
         v = (hc @ lp["wv"]).reshape(b, 1, hkv, dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        k, v = k[:, 0], v[:, 0]  # [B, Hkv, Dh]
 
         page_base = (li * b + slot_ids) * pps
-        kp, vp = kv_append(kp, vp, k[:, 0], v[:, 0],
-                           page_base + write_pos // page_size,
-                           write_pos % page_size)
         page_indices = page_base[:, None] + page_iota[None, :]
         # q pre-scaled in fp32 (the kernel has no internal scaling; fp32
         # matches the dense path's fp32-score scaling for HF parity)
-        attn = paged_attention(
-            q[:, 0].astype(jnp.float32) * scale, kp, vp, lengths, page_indices,
+        qs = q[:, 0].astype(jnp.float32) * scale
+        o, m, l = paged_attention_stats(
+            qs, k_pool, v_pool, lengths, page_indices,
             pages_per_compute_block=pages_per_compute_block)
-        xx = xx + attn.reshape(b, h * dh).astype(xx.dtype) @ lp["wo"]
 
+        # flash merge of the fresh token's self term; for length-0 rows
+        # (m=-inf, l=0) this reduces to exactly the self attention
+        k_rep = jnp.repeat(k.astype(jnp.float32), groups, axis=1)  # [B, H, Dh]
+        v_rep = jnp.repeat(v.astype(jnp.float32), groups, axis=1)
+        s_self = jnp.sum(qs * k_rep, axis=-1)  # [B, H]
+        m2 = jnp.maximum(m, s_self)
+        w_cache = l * jnp.exp(m - m2)
+        w_self = jnp.exp(s_self - m2)
+        attn = ((w_cache[..., None] * o.astype(jnp.float32)
+                 + w_self[..., None] * v_rep)
+                / (w_cache + w_self)[..., None])
+
+        xx = xx + attn.reshape(b, h * dh).astype(xx.dtype) @ lp["wo"]
         hm = rms_norm(xx, lp["ln_mlp"], eps)
         gated = jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])
         xx = xx + gated @ lp["w_down"]
-        return (xx, kp, vp, li + 1), None
+        return (xx, li + 1), (k, v)
 
-    (x, k_pool, v_pool, _), _ = jax.lax.scan(
-        body, (x, k_pool, v_pool, jnp.zeros((), jnp.int32)), params["layers"])
+    (x, _), (ks, vs) = jax.lax.scan(
+        body, (x, jnp.zeros((), jnp.int32)), params["layers"])
+
+    # one batched write for all layers: rows [L*B, Hkv, Dh], absolute pages
+    # (l*B + b)*pps + pos//page_size
+    layer_ids = jnp.arange(n_layers, dtype=jnp.int32)
+    pages = ((layer_ids[:, None] * b + slot_ids[None, :]) * pps
+             + (write_pos // page_size)[None, :]).reshape(-1)
+    offsets = jnp.tile(write_pos % page_size, n_layers)
+    k_pool, v_pool = kv_append(
+        k_pool, v_pool, ks.reshape(n_layers * b, hkv, dh),
+        vs.reshape(n_layers * b, hkv, dh), pages, offsets)
+
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, k_pool, v_pool

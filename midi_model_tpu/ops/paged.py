@@ -165,7 +165,9 @@ def _paged_attention_xla(q, k_pool, v_pool, lengths, page_indices):
     """Reference path (CPU tests): gather pages densely, masked softmax.
 
     Numerics mirror ops.attention's cached decode path (fp32 softmax,
-    pre-scaled q like the Pallas kernel's contract).
+    pre-scaled q like the Pallas kernel's contract). Returns (o, m, l) like
+    the Pallas kernel: the running max and normalizer let callers fold in
+    extra tokens with a flash-style merge.
     """
     b, h, d = q.shape
     hkv, _, ps, _ = k_pool.shape
@@ -181,10 +183,12 @@ def _paged_attention_xla(q, k_pool, v_pool, lengths, page_indices):
                         k.astype(jnp.float32))
     valid = jnp.arange(pps * ps)[None, None, :] < lengths[:, None, None]
     scores = jnp.where(valid, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = jnp.where(valid, probs, 0.0)  # rows with length 0 stay finite
+    m = jnp.max(scores, axis=-1)  # -inf for length-0 rows
+    exp = jnp.where(valid, jnp.exp(scores - m[..., None]), 0.0)
+    l = exp.sum(axis=-1)  # 0 for length-0 rows
+    probs = exp / jnp.maximum(l, 1e-30)[..., None]
     out = jnp.einsum("bht,bhtd->bhd", probs, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    return out.astype(q.dtype), m, l
 
 
 def _paged_attention_pallas(q, k_pool, v_pool, lengths, page_indices,
@@ -219,7 +223,7 @@ def _paged_attention_pallas(q, k_pool, v_pool, lengths, page_indices,
                            lambda core, b, h, *_: (b, h, 0, 0))
 
     grid = (1, batch_size, num_kv_heads)
-    out, _, _ = pl.pallas_call(
+    out, m, l = pl.pallas_call(
         _ft.partial(
             paged_flash_attention_kernel_inline_seq_dim,
             pages_per_sequence=pages_per_sequence,
@@ -269,7 +273,32 @@ def _paged_attention_pallas(q, k_pool, v_pool, lengths, page_indices,
         v_pool,
         None,
     )
-    return out.reshape(q.shape).astype(q.dtype)
+    b, h, _ = q.shape
+    return (out.reshape(q.shape).astype(q.dtype),
+            m.reshape(b, h), l.reshape(b, h))
+
+
+def paged_attention_stats(q, k_pool, v_pool, lengths, page_indices,
+                          pages_per_compute_block: int = 4):
+    """Like :func:`paged_attention` but also returns the flash softmax stats
+    (m, l) [B, H] so callers can fold in extra tokens analytically — the
+    decode step uses this to attend the fresh token WITHOUT writing it to the
+    pool first, which lets all layers' pool writes batch into one kernel
+    call per event. Zero-length rows return (o=0, m=-inf, l=0): a flash
+    merge with a self term then reduces to exactly the self attention.
+    """
+    d = q.shape[-1]
+    q = _pad_lane(q, k_pool.shape[-1])
+    if _on_tpu():
+        pps = page_indices.shape[1]
+        ppcb = int(np.gcd(pages_per_compute_block, pps))
+        out, m, l = _paged_attention_pallas(
+            q, k_pool, v_pool, lengths.astype(jnp.int32),
+            page_indices.astype(jnp.int32), ppcb)
+    else:
+        out, m, l = _paged_attention_xla(q, k_pool, v_pool, lengths,
+                                         page_indices)
+    return out[..., :d], m, l
 
 
 def paged_attention(q, k_pool, v_pool, lengths, page_indices,
@@ -280,14 +309,5 @@ def paged_attention(q, k_pool, v_pool, lengths, page_indices,
     [Hkv, n_pages, page_size, D_pool]; lengths: int32 [B] (0 skips the row
     entirely); page_indices: int32 [B, pages_per_sequence].
     """
-    d = q.shape[-1]
-    q = _pad_lane(q, k_pool.shape[-1])
-    if _on_tpu():
-        pps = page_indices.shape[1]
-        ppcb = int(np.gcd(pages_per_compute_block, pps))
-        out = _paged_attention_pallas(
-            q, k_pool, v_pool, lengths.astype(jnp.int32),
-            page_indices.astype(jnp.int32), ppcb)
-    else:
-        out = _paged_attention_xla(q, k_pool, v_pool, lengths, page_indices)
-    return out[..., :d]
+    return paged_attention_stats(q, k_pool, v_pool, lengths, page_indices,
+                                 pages_per_compute_block)[0]

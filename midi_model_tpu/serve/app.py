@@ -167,7 +167,13 @@ class MidiGenerationService:
 
     def run(self, req: GenerationRequest, prompt_rows=None,
             disable_patch_change=False, disable_channels=None):
-        """Generator yielding [B, n, T] numpy chunks of fresh rows."""
+        """Generator yielding [B, n, T] numpy chunks of fresh rows AS THEY
+        DECODE (true streaming: generation runs on a worker thread and chunks
+        flow through a queue, like the reference's per-event ``yield``,
+        /root/reference/app.py:118 — here per device-dispatch chunk)."""
+        import queue
+        import threading
+
         if prompt_rows is None:
             if req.midi_bytes is not None:
                 prompt_rows = self.midi_prompt(req)
@@ -177,24 +183,39 @@ class MidiGenerationService:
         prompt = np.asarray([prompt_rows] * self.batch_size, dtype=np.int64) \
             if np.asarray(prompt_rows).ndim == 2 else np.asarray(prompt_rows)
 
-        chunks: List[np.ndarray] = []
-
-        def cb(rows):
-            chunks.append(rows)
+        q: "queue.Queue" = queue.Queue()
+        done = object()
 
         max_len = prompt.shape[1] + req.gen_events
-        out = generate(
-            self.params, self.config, prompt=prompt,
-            batch_size=self.batch_size, max_len=max_len, temp=req.temp,
-            top_p=req.top_p, top_k=req.top_k, seed=req.seed,
-            disable_patch_change=disable_patch_change,
-            disable_control_change=not req.allow_cc,
-            disable_channels=disable_channels,
-            chunk_size=self.chunk_size, context_limit=self.context_limit,
-            kv_int8=self.kv_int8, event_callback=cb)
-        for c in chunks:
-            yield c
-        self.last_output = out
+
+        def worker():
+            try:
+                out = generate(
+                    self.params, self.config, prompt=prompt,
+                    batch_size=self.batch_size, max_len=max_len, temp=req.temp,
+                    top_p=req.top_p, top_k=req.top_k, seed=req.seed,
+                    disable_patch_change=disable_patch_change,
+                    disable_control_change=not req.allow_cc,
+                    disable_channels=disable_channels,
+                    chunk_size=self.chunk_size,
+                    context_limit=self.context_limit,
+                    kv_int8=self.kv_int8, event_callback=q.put)
+                self.last_output = out
+                q.put(done)
+            except BaseException as exc:  # surface in the consumer thread
+                q.put(exc)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            if isinstance(item, BaseException):
+                thread.join()
+                raise item
+            yield item
+        thread.join()
 
     # ---- continuation / undo (ref app.py:194-206, :282-296) --------------
 
@@ -240,6 +261,34 @@ class MidiGenerationService:
             paths.append(path)
         return paths
 
+    def load_from_zoo(self, name: str, lora_name: Optional[str] = None,
+                      cache_dir: str = "models"):
+        """Hot-load a pretrained zoo checkpoint (+ optional merged LoRA)
+        into this service (ref model/LoRA hot-load, app.py:299-334)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..interop import load_state_dict, params_from_state_dict
+
+        info = MODEL_ZOO[name]
+        path = download_model(name, cache_dir)
+        config = MIDIModelConfig.from_name(info["config"])
+        params = params_from_state_dict(load_state_dict(path), config)
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+        if lora_name:
+            from huggingface_hub import hf_hub_download
+
+            from ..models.lora import load_peft_adapter, merge_lora
+
+            adapter = hf_hub_download(repo_id=info["loras"][lora_name],
+                                      filename="adapter_model.safetensors",
+                                      cache_dir=cache_dir)
+            params = merge_lora(params, load_peft_adapter(adapter, config))
+        self.params = params
+        self.config = config
+        self.tokenizer = config.tokenizer
+        return config
+
     def render_audio(self, sequences, max_workers: Optional[int] = None):
         """Render int16 audio per sequence on a thread pool (ref :260-279)."""
         if self.synthesizer is None:
@@ -262,64 +311,282 @@ def send_msgs(msgs):
     return json.dumps(msgs)
 
 
-def build_ui(service: MidiGenerationService, js_dir: Optional[str] = None):
-    """Gradio Blocks UI wired to the service (requires gradio)."""
+def load_javascript(js_dir: Optional[str] = None, batch_size: int = 4):
+    """Inject serve/js/*.js into gradio's page <head> (the reference's
+    template-response patch, /root/reference/app.py:337-355)."""
+    import glob
+
     import gradio as gr
+
+    js_dir = js_dir or os.path.join(os.path.dirname(__file__), "js")
+    javascript = ""
+    for path in sorted(glob.glob(os.path.join(js_dir, "*.js"))):
+        with open(path, encoding="utf8") as f:
+            content = f.read().replace(
+                "const MIDI_OUTPUT_BATCH_SIZE = 4;",
+                f"const MIDI_OUTPUT_BATCH_SIZE = {batch_size};")
+        javascript += f"\n<!-- {path} --><script>{content}</script>"
+
+    template_response_ori = gr.routes.templates.TemplateResponse
+
+    def template_response(*args, **kwargs):
+        res = template_response_ori(*args, **kwargs)
+        res.body = res.body.replace(
+            b"</head>", f"{javascript}</head>".encode("utf8"))
+        res.init_headers()
+        return res
+
+    gr.routes.templates.TemplateResponse = template_response
+
+
+def build_ui(service: MidiGenerationService, js_dir: Optional[str] = None,
+             enable_zoo: bool = True):
+    """Gradio Blocks UI wired to the service — streaming piano-roll
+    visualizers, three prompt tabs with continuation/undo, model-zoo
+    hot-load, per-row audio players (parity: /root/reference/app.py UI)."""
+    import gradio as gr
+
+    batch = service.batch_size
+    load_javascript(js_dir, batch)
+
+    def rows_to_events(rows) -> list:
+        tok = service.tokenizer
+        out = []
+        for r in np.asarray(rows):
+            ev = tok.tokens2event(list(int(t) for t in r))
+            if ev:
+                out.append(ev)
+        return out
 
     with gr.Blocks() as app:
         js_msg = gr.Textbox(elem_id="msg_receiver", visible=False)
-        output_state = gr.State()
-        with gr.Tabs():
-            with gr.TabItem("custom prompt"):
+        # browser-side dispatch of queued messages (ref app.py:383-390)
+        js_msg.change(None, [js_msg], [], js="""
+            (msg_json) => {
+                let msgs = JSON.parse(msg_json);
+                executeCallbacks(msgReceiveCallbacks, msgs);
+                return [];
+            }""")
+        output_state = gr.State()  # list of [L, T] sequences (last output)
+        undo_state = gr.State([])  # continuation undo stack
+
+        if enable_zoo:
+            with gr.Accordion(label="Model", open=False):
+                zoo = gr.Dropdown(label="model", choices=list(MODEL_ZOO),
+                                  value=None)
+                lora = gr.Dropdown(label="LoRA", choices=["none"], value="none")
+                load_btn = gr.Button("download & load")
+                model_status = gr.Markdown("using the checkpoint given on "
+                                           "the command line")
+
+                def list_loras(name):
+                    loras = ["none"] + list(MODEL_ZOO.get(name, {})
+                                            .get("loras", {}))
+                    return gr.update(choices=loras, value="none")
+
+                def do_load(name, lora_name):
+                    try:
+                        service.load_from_zoo(name,
+                                              None if lora_name == "none"
+                                              else lora_name)
+                        return f"loaded **{name}**" + (
+                            f" + LoRA {lora_name}" if lora_name != "none"
+                            else "")
+                    except Exception as e:  # no network etc.
+                        return f"load failed: {e}"
+
+                zoo.change(list_loras, [zoo], [lora])
+                load_btn.click(do_load, [zoo, lora], [model_status])
+
+        with gr.Tabs() as tabs:
+            with gr.TabItem("custom prompt", id=0):
                 instruments = gr.Dropdown(
                     label="instruments", choices=list(PATCH_NUMBERS),
                     multiselect=True, max_choices=15)
                 drum_kit = gr.Dropdown(label="drum kit",
-                                       choices=list(DRUM_KIT_NUMBERS), value="None")
+                                       choices=list(DRUM_KIT_NUMBERS),
+                                       value="None")
                 bpm = gr.Slider(label="BPM (0 = auto)", minimum=0, maximum=255,
                                 step=1, value=0)
                 time_sig = gr.Radio(
                     label="time signature", value="auto",
                     choices=["auto", "4/4", "2/4", "3/4", "6/4", "7/4", "2/2",
-                             "3/2", "4/2", "3/8", "5/8", "6/8", "7/8", "9/8", "12/8"])
+                             "3/2", "4/2", "3/8", "5/8", "6/8", "7/8", "9/8",
+                             "12/8"])
                 key_sig = gr.Radio(label="key signature", value="auto",
-                                   choices=["auto"] + KEY_SIGNATURES, type="index")
-            with gr.TabItem("midi prompt"):
+                                   choices=["auto"] + KEY_SIGNATURES,
+                                   type="index")
+            with gr.TabItem("midi prompt", id=1):
                 midi_file = gr.File(label="input midi",
                                     file_types=[".midi", ".mid"], type="binary")
                 midi_events = gr.Slider(label="prompt events", minimum=1,
                                         maximum=4097, step=1, value=128)
-        seed = gr.Slider(label="seed", minimum=0, maximum=2**31 - 1, step=1, value=0)
+                reduce_cc_st = gr.Checkbox(label="reduce control_change and "
+                                           "set_tempo events", value=True)
+                remap_track_channel = gr.Checkbox(
+                    label="remap tracks and channels", value=True)
+                add_default_instr = gr.Checkbox(
+                    label="add a default instrument to channels without one",
+                    value=True)
+                remove_empty_channels = gr.Checkbox(
+                    label="remove channels without notes", value=False)
+            with gr.TabItem("last output prompt", id=2):
+                gr.Markdown("continue the last generation (undo supported)")
+                continue_select = gr.Radio(
+                    label="continue from which output (0 = each continues "
+                          "its own)", value=0, type="index",
+                    choices=[str(i) for i in range(batch + 1)])
+                undo_btn = gr.Button("undo last continuation")
+
+        tab_state = gr.State(0)
+
+        def on_tab_select(evt: gr.SelectData):
+            return evt.index
+
+        tabs.select(on_tab_select, None, tab_state)
+
+        seed = gr.Slider(label="seed", minimum=0, maximum=2**31 - 1, step=1,
+                         value=0)
+        seed_rand = gr.Checkbox(label="random seed", value=True)
         gen_events = gr.Slider(label="generate n events", minimum=1,
                                maximum=4096, step=1, value=512)
         temp = gr.Slider(label="temperature", minimum=0.1, maximum=1.2,
                          step=0.01, value=1.0)
         top_p = gr.Slider(label="top p", minimum=0.1, maximum=1.0,
                           step=0.01, value=0.94)
-        top_k = gr.Slider(label="top k", minimum=1, maximum=128, step=1, value=20)
+        top_k = gr.Slider(label="top k", minimum=1, maximum=128, step=1,
+                          value=20)
         allow_cc = gr.Checkbox(label="allow cc events", value=True)
         run_btn = gr.Button("generate", variant="primary")
-        outputs = [gr.File(label=f"output {i + 1}")
-                   for i in range(service.batch_size)]
+        continue_btn = gr.Button("continue last output")
 
-        def do_run(instruments, drum_kit, bpm, time_sig, key_sig, midi_file,
-                   midi_events, seed, gen_events, temp, top_p, top_k, allow_cc):
+        visualizers, audios, files = [], [], []
+        for i in range(batch):
+            with gr.Accordion(label=f"output {i + 1}", open=True):
+                visualizers.append(gr.HTML(
+                    f'<div id="midi_visualizer_container_{i}"></div>'))
+                audios.append(gr.Audio(label=f"audio {i + 1}",
+                                       elem_id=f"midi_audio_{i}"))
+                files.append(gr.File(label=f"midi {i + 1}"))
+
+        out_components = [js_msg, output_state, undo_state] + files + audios
+        no_files = [gr.update()] * batch
+        no_audio = [gr.update()] * batch
+
+        def _stream(req, prompt_rows=None, undo_stack=None, select=0,
+                    prev_output=None, **run_kw):
+            """Shared streaming body for generate and continue."""
+            tok = service.tokenizer
+            if prompt_rows is None:
+                if req.midi_bytes is not None:
+                    prompt_rows = service.midi_prompt(req)
+                    run_gen = service.run(req, prompt_rows=prompt_rows)
+                else:
+                    prompt_rows, dpc, dch = service.custom_prompt(req)
+                    run_gen = service.run(req, prompt_rows=prompt_rows,
+                                          disable_patch_change=dpc,
+                                          disable_channels=dch)
+                init_events = rows_to_events(prompt_rows)
+            else:
+                run_gen = service.continue_run(req, prompt_rows,
+                                               undo_stack, select)
+                init_events = rows_to_events(np.asarray(prompt_rows)[0])
+
+            msgs = []
+            for i in range(batch):
+                msgs.append(create_msg("visualizer_clear", [i, tok.version]))
+                msgs.append(create_msg("visualizer_append", [i, init_events]))
+            yield tuple([send_msgs(msgs), gr.update(), gr.update()]
+                        + no_files + no_audio)
+
+            produced = 0
+            for chunk in run_gen:  # [B, n, T]
+                produced += chunk.shape[1]
+                msgs = [create_msg("visualizer_append",
+                                   [i, rows_to_events(chunk[i])])
+                        for i in range(min(batch, chunk.shape[0]))]
+                msgs.append(create_msg("progress", [produced, req.gen_events]))
+                yield tuple([send_msgs(msgs), gr.update(), gr.update()]
+                            + no_files + no_audio)
+
+            seqs = [np.asarray(s) for s in service.last_output]
+            paths = service.finish(seqs)
+            audio_np = service.render_audio(seqs)
+            audio_out = [
+                (44100, a) if a is not None else gr.update()
+                for a in audio_np]
+            msgs = ([create_msg("visualizer_end", i) for i in range(batch)]
+                    + [create_msg("progress", [0, 0])])
+            yield tuple([send_msgs(msgs), [s.tolist() for s in seqs],
+                         undo_stack if undo_stack is not None else gr.update()]
+                        + paths + audio_out)
+
+        def do_run(tab, instruments, drum_kit, bpm, time_sig, key_sig,
+                   midi_file, midi_events, reduce_cc_st, remap_track_channel,
+                   add_default_instr, remove_empty_channels, seed, seed_rand,
+                   gen_events, temp, top_p, top_k, allow_cc):
+            import random as _random
+
+            if seed_rand:
+                seed = _random.randint(0, 2**31 - 1)
             req = GenerationRequest(
                 instruments=instruments, drum_kit=drum_kit, bpm=int(bpm),
-                time_signature=None if time_sig == "auto" else time_sig,
+                time_signature=None if time_sig in (None, "auto") else time_sig,
                 key_signature=0 if key_sig in (None, 0) else int(key_sig),
-                midi_bytes=midi_file, midi_events=int(midi_events),
+                midi_bytes=midi_file if tab == 1 else None,
+                midi_events=int(midi_events),
+                reduce_cc_st=reduce_cc_st,
+                remap_track_channel=remap_track_channel,
+                add_default_instr=add_default_instr,
+                remove_empty_channels=remove_empty_channels,
                 seed=int(seed), gen_events=int(gen_events), temp=temp,
                 top_p=top_p, top_k=top_k, allow_cc=allow_cc)
-            for _chunk in service.run(req):
-                pass
-            paths = service.finish(service.last_output)
-            return paths
+            yield from _stream(req)
 
-        run_btn.click(do_run,
-                      [instruments, drum_kit, bpm, time_sig, key_sig, midi_file,
-                       midi_events, seed, gen_events, temp, top_p, top_k, allow_cc],
-                      outputs)
+        def do_continue(select, output, undo_stack, seed, seed_rand,
+                        gen_events, temp, top_p, top_k, allow_cc):
+            import random as _random
+
+            if output is None:
+                raise gr.Error("nothing to continue — generate first")
+            if seed_rand:
+                seed = _random.randint(0, 2**31 - 1)
+            req = GenerationRequest(
+                seed=int(seed), gen_events=int(gen_events), temp=temp,
+                top_p=top_p, top_k=top_k, allow_cc=allow_cc)
+            undo_stack = list(undo_stack or [])
+            yield from _stream(req, prompt_rows=np.asarray(output),
+                               undo_stack=undo_stack,
+                               select=int(select or 0))
+
+        def do_undo(output, undo_stack):
+            seqs, stack = MidiGenerationService.undo_continuation(
+                output, list(undo_stack or []))
+            if seqs is None:
+                return gr.update(), gr.update(), gr.update()
+            tok = service.tokenizer
+            msgs = []
+            for i in range(min(batch, len(seqs))):
+                msgs.append(create_msg("visualizer_clear", [i, tok.version]))
+                msgs.append(create_msg("visualizer_append",
+                                       [i, rows_to_events(seqs[i])]))
+                msgs.append(create_msg("visualizer_end", i))
+            return send_msgs(msgs), seqs, stack
+
+        run_inputs = [tab_state, instruments, drum_kit, bpm, time_sig,
+                      key_sig, midi_file, midi_events, reduce_cc_st,
+                      remap_track_channel, add_default_instr,
+                      remove_empty_channels, seed, seed_rand, gen_events,
+                      temp, top_p, top_k, allow_cc]
+        run_btn.click(do_run, run_inputs, out_components,
+                      concurrency_limit=3)
+        continue_btn.click(do_continue,
+                           [continue_select, output_state, undo_state, seed,
+                            seed_rand, gen_events, temp, top_p, top_k,
+                            allow_cc],
+                           out_components, concurrency_limit=3)
+        undo_btn.click(do_undo, [output_state, undo_state],
+                       [js_msg, output_state, undo_state])
     return app
 
 

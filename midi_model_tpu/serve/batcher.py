@@ -24,11 +24,14 @@ Grammar masking and sampling semantics match sampling/generate.py exactly.
 
 Host/device discipline: per-slot bookkeeping must fetch device arrays to the
 host ONCE per step — indexing a device array per slot costs a full transfer
-round trip each time.  Measured throughput (tv2o-medium, one v5e chip):
-~2.3k events/sec at 32 slots, ~3.3k at 128 (the per-row masks and cache
-writes cost ~2× vs aligned decode; paged attention would close that gap).
+round trip each time.  Measured throughput (tv2o-medium, one v5e chip,
+paged pool, chunk=64): ~4.2k events/sec at 32 slots, ~5.4k at 128 (round-1
+dense/blend design measured 2.3k / 3.3k). The remaining gap to aligned
+decode is the paged kernel's (slot x kv_head) grid serializing on the
+single v5e core (~0.25 ms/layer of cell overhead at 32 slots) — an
+all-heads-per-cell kernel with whole-page DMAs is the known next step.
 Note: this container's remote compiler crashes on exactly-64-slot programs —
-use 32 or 128.
+use 32 or 128 slots; chunk size is free.
 """
 
 from __future__ import annotations
@@ -77,7 +80,16 @@ def _prefill_request(params, config: MIDIModelConfig, prompt: jax.Array,
     """
     dtype = params["lm_head"].dtype
     cache = KVCache.zeros(config.net, 1, bucket, dtype=dtype)
-    hidden, cache = midinet.forward(params, config, prompt, cache=cache)
+    # Embed in 16-event chunks: the fused pad+clamp+gather of a whole [1,
+    # bucket>=64, 8] prompt exceeds the 16 MB scoped-VMEM budget on this
+    # XLA (same family as the train-path convert+gather bug; see
+    # trainer.loss_fn). lax.map serializes the gathers, which is noise next
+    # to the transformer forward.
+    t_max = prompt.shape[-1]
+    emb = jax.lax.map(lambda c: midinet.embed_events(params, c),
+                      prompt[0].reshape(-1, 16, t_max))
+    emb = emb.reshape(1, bucket, -1)
+    hidden, cache = llama.forward(params["net"], config.net, emb, cache=cache)
     h_last = jax.lax.dynamic_index_in_dim(hidden[0], p_len - 1, axis=0,
                                           keepdims=False)
     return cache.k, cache.v, h_last
