@@ -598,7 +598,14 @@ def main(argv=None):
     from ..interop import load_state_dict, params_from_state_dict
 
     ap = argparse.ArgumentParser(description="midi_model_tpu serving app")
-    ap.add_argument("--ckpt", type=str, required=True)
+    ap.add_argument("--ckpt", type=str, default="",
+                    help="local checkpoint (.safetensors/.ckpt)")
+    ap.add_argument("--model-name", type=str, default="",
+                    choices=[""] + list(MODEL_ZOO),
+                    help="download+serve a pretrained zoo model "
+                         "(ref app_onnx.py:533-590)")
+    ap.add_argument("--lora", type=str, default="",
+                    help="zoo LoRA name to merge (with --model-name)")
     ap.add_argument("--config", type=str, default="auto")
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--batch", type=int, default=4)
@@ -607,20 +614,35 @@ def main(argv=None):
     ap.add_argument("--kv-int8", action="store_true", default=False,
                     help="int8 KV cache (halves decode memory traffic)")
     args = ap.parse_args(argv)
+    if not args.ckpt and not args.model_name:
+        ap.error("one of --ckpt or --model-name is required")
 
-    if args.config == "auto":
-        cfg_path = os.path.join(os.path.dirname(args.ckpt), "config.json")
-        config = MIDIModelConfig.from_json_file(cfg_path)
-    else:
-        config = MIDIModelConfig.from_name(args.config)
     import jax.numpy as jnp
 
-    params = params_from_state_dict(load_state_dict(args.ckpt), config)
-    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    if args.ckpt:
+        if args.config == "auto":
+            cfg_path = os.path.join(os.path.dirname(args.ckpt), "config.json")
+            config = MIDIModelConfig.from_json_file(cfg_path)
+        else:
+            config = MIDIModelConfig.from_name(args.config)
+        params = params_from_state_dict(load_state_dict(args.ckpt), config)
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+        service = MidiGenerationService(params, config, batch_size=args.batch,
+                                        soundfont_path=args.soundfont,
+                                        kv_int8=args.kv_int8)
+    else:
+        # placeholder init; load_from_zoo replaces params/config
+        config = MIDIModelConfig.from_name(
+            MODEL_ZOO[args.model_name]["config"])
+        from ..models import midinet
 
-    service = MidiGenerationService(params, config, batch_size=args.batch,
-                                    soundfont_path=args.soundfont,
-                                    kv_int8=args.kv_int8)
+        params = midinet.init_params(jax.random.PRNGKey(0), config,
+                                     dtype=jnp.bfloat16)
+        service = MidiGenerationService(params, config, batch_size=args.batch,
+                                        soundfont_path=args.soundfont,
+                                        kv_int8=args.kv_int8)
+        service.load_from_zoo(args.model_name, args.lora or None)
+
     app = build_ui(service)
     app.launch(server_port=args.port, share=args.share)
 

@@ -103,3 +103,79 @@ def test_model_zoo_registry():
 
     assert any(v["config"] == "tv2o-medium" for v in MODEL_ZOO.values())
     assert any(v["config"] == "tv1-medium" for v in MODEL_ZOO.values())
+
+
+def test_run_streams_progressively(service):
+    """run() must yield chunks WHILE generation runs (worker thread + queue),
+    not after — the regression the round-1 advisor flagged (app.py:186)."""
+    req = GenerationRequest(gen_events=12, seed=1)
+    gen = service.run(req)
+    first = next(gen)  # must arrive without exhausting the generator
+    assert first.ndim == 3 and first.shape[0] == service.batch_size
+    rest = list(gen)
+    total = first.shape[1] + sum(c.shape[1] for c in rest)
+    assert total >= 1
+    # chunk_size=4 with 12 events -> multiple chunks
+    assert len(rest) >= 1
+    assert service.last_output.shape[1] >= total
+
+
+def test_build_ui_streaming_handler(service, tmp_path, monkeypatch):
+    """Execute the real gradio wiring against a stub backend and drive the
+    registered generate handler end-to-end: visualizer messages must stream
+    progressively and the final yield must carry files + output state."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from _gradio_stub import install
+
+    registry = install()
+    monkeypatch.chdir(tmp_path)  # finish() writes outputs/ in cwd
+
+    from midi_model_tpu.serve.app import build_ui
+
+    app = build_ui(service)
+    assert app is not None
+    clicks = [r for r in registry if r["kind"] == "click"]
+    # generate, continue, undo (+ zoo load)
+    assert len(clicks) >= 3
+    do_run = next(r["fn"] for r in clicks if r["fn"].__name__ == "do_run")
+
+    yields = list(do_run(
+        0,            # tab
+        ["Violin"],   # instruments
+        "Standard",   # drum kit
+        120,          # bpm
+        "auto", 0,    # time sig, key sig
+        None, 128,    # midi file, midi events
+        True, True, True, False,  # midi options
+        3, False,     # seed, random seed
+        8,            # gen events
+        1.0, 0.94, 20, True))  # temp, top_p, top_k, allow_cc
+
+    assert len(yields) >= 3  # initial + >=1 chunk + final
+    first_msgs = json.loads(yields[0][0])
+    names = [m["name"] for m in first_msgs]
+    assert "visualizer_clear" in names and "visualizer_append" in names
+    mid_msgs = json.loads(yields[1][0])
+    assert any(m["name"] == "visualizer_append" for m in mid_msgs)
+    assert any(m["name"] == "progress" for m in mid_msgs)
+    final = yields[-1]
+    final_msgs = json.loads(final[0])
+    assert any(m["name"] == "visualizer_end" for m in final_msgs)
+    state = final[1]
+    assert isinstance(state, list) and len(state) == service.batch_size
+    files = final[3: 3 + service.batch_size]
+    for p in files:
+        assert str(p).endswith(".mid")
+        assert (tmp_path / p).exists() or __import__("os").path.exists(p)
+
+    # continuation handler drives from the state, undo pops it back
+    do_continue = next(r["fn"] for r in clicks
+                       if r["fn"].__name__ == "do_continue")
+    cont_yields = list(do_continue("1", state, [], 3, False, 4, 1.0, 0.94,
+                                   20, True))
+    assert len(cont_yields) >= 2
+    cont_state = cont_yields[-1][1]
+    assert len(cont_state[0]) > len(state[0])
