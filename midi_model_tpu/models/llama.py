@@ -173,15 +173,12 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
     k = apply_rope(k, cos, sin)
 
     new_cache = None
-    fused_out = None
     if cache_kv is not None:
         # cache_kv = (k cache, v cache, k scales, v scales, layer index); the
         # caller carries the [L, B, T, Hkv, Dh] buffers so only the new tokens
         # are written in place — restacking the whole cache as loop outputs
         # would double the HBM traffic of every decode step.  Scales are None
         # for the full-precision cache.
-        from ..ops.attention import use_pallas_decode
-
         ck_all, cv_all, ks_all, vs_all, li = cache_kv
         quantized = ks_all is not None
         if quantized:
@@ -230,30 +227,18 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
                 vs_all = jax.lax.dynamic_update_slice(
                     vs_all, v_s[None], (li, 0, cache_index, 0))
         new_cache = (ck_all, cv_all, ks_all, vs_all)
-        if (not quantized and getattr(cache_index, "ndim", 0) == 0
-                and use_pallas_decode(s, ck_all.shape[2], h, hkv)):
-            # fused flash-style decode attention straight off the cache —
-            # no per-layer slice materialization; reads stop at valid length
-            from ..ops.decode_attention import decode_attention
+        k = jax.lax.dynamic_index_in_dim(ck_all, li, axis=0, keepdims=False)
+        v = jax.lax.dynamic_index_in_dim(cv_all, li, axis=0, keepdims=False)
+        if quantized:
+            k = dequantize_kv(
+                k, jax.lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
+                q.dtype)
+            v = dequantize_kv(
+                v, jax.lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
+                q.dtype)
 
-            fused_out = decode_attention(
-                q[:, 0], ck_all, cv_all, li, cache_index + 1)[:, None]
-        else:
-            k = jax.lax.dynamic_index_in_dim(ck_all, li, axis=0, keepdims=False)
-            v = jax.lax.dynamic_index_in_dim(cv_all, li, axis=0, keepdims=False)
-            if quantized:
-                k = dequantize_kv(
-                    k, jax.lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
-                    q.dtype)
-                v = dequantize_kv(
-                    v, jax.lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
-                    q.dtype)
-
-    if fused_out is not None:
-        attn = fused_out.reshape(b, s, h * dh)
-    else:
-        attn = _attention(q, k, v, mask_bias,
-                          cached=cache_kv is not None).reshape(b, s, h * dh)
+    attn = _attention(q, k, v, mask_bias,
+                      cached=cache_kv is not None).reshape(b, s, h * dh)
     x = x + attn @ lp["wo"]
 
     hmlp = rms_norm(x, lp["ln_mlp"], eps)

@@ -57,36 +57,11 @@ def _use_flash(s: int, cached: bool) -> bool:
     return _on_tpu()
 
 
-# Default xla: the measured XLA decode attention runs at ~70% of the HBM
-# roofline on v5e, while the Pallas kernel (kept for future tuning) is
-# currently slower per layer (see tools/perf_experiments.py logs).
-_DECODE_BACKEND = "xla"
-
-
-def get_decode_backend() -> str:
-    return _DECODE_BACKEND
-
-
-def set_decode_backend(name: str):
-    """Decode-attention backend: auto | xla | pallas."""
-    global _DECODE_BACKEND
-    if name not in ("auto", "xla", "pallas"):
-        raise ValueError(f"unknown decode backend {name}")
-    _DECODE_BACKEND = name
-
-
-def use_pallas_decode(q_len: int, cache_len: int, h: int, hkv: int) -> bool:
-    """Gate for the fused Pallas decode-attention kernel (single-token decode
-    over a block-aligned cache, no GQA expansion)."""
-    from .decode_attention import S_BLK
-
-    if _DECODE_BACKEND == "xla":
-        return False
-    if q_len != 1 or h != hkv or cache_len % S_BLK:
-        return False
-    if _DECODE_BACKEND == "pallas":
-        return True
-    return _on_tpu()
+# Aligned decode attention stays on XLA: it measures ~70% of the HBM
+# roofline on v5e, and a hand-written flash-decode kernel lost to it at
+# every cache length tried (1024/2048/4096; up to ~12x at 4096 — cut in
+# round 2). Pallas decode kernels live where they actually win: the paged
+# per-slot path (ops/paged.py).
 
 
 def xla_attention(q, k, v, mask_bias):

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -102,28 +103,29 @@ def host_local_batch_to_global(batch, mesh: Mesh,
     """Assemble the global batch from each process's local rows.
 
     ``batch`` is this host's rows only (global_batch / process_count of
-    them along the sharded axis).  Under a single process this is just a
-    sharded device_put; under multihost it builds a global
+    them along the sharded axis).  Under multihost it builds a global
     jax.Array whose addressable shards are this host's data —
     ``jnp.asarray`` alone would make a process-local array that cannot
     satisfy a global ``data``-axis sharding.
     """
     if spec is None:
         spec = P(None, DATA_AXIS)  # [accum, batch, ...] microbatch layout
-    sharding = NamedSharding(mesh, spec)
     local = np.asarray(batch)
     if jax.process_count() == 1:
-        return jax.device_put(local, sharding)
+        # single process: the train step's with_sharding_constraint places
+        # it (and tolerates batch < mesh size, unlike an explicit device_put)
+        return jnp.asarray(local)
+    sharding = NamedSharding(mesh, spec)
     return jax.make_array_from_process_local_data(sharding, local)
 
 
 def replicated_from_local(batch, mesh: Mesh) -> jax.Array:
     """A fully-replicated global array from identical per-host data (used for
     validation batches, which every process loads identically)."""
-    sharding = NamedSharding(mesh, P())
     local = np.asarray(batch)
     if jax.process_count() == 1:
-        return jax.device_put(local, sharding)
+        return jnp.asarray(local)
+    sharding = NamedSharding(mesh, P())
     return jax.make_array_from_process_local_data(sharding, local)
 
 

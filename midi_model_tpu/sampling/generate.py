@@ -57,14 +57,8 @@ def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
             kv_int8: bool = False) -> GenState:
     """Run the event net over the prompt rows, filling the event cache.
 
-    When the Pallas decode backend is enabled, the cache is over-allocated to
-    a multiple of its block size (tail masked); with the default XLA backend
-    the exact length is kept — attention traffic scales with cache length."""
-    from ..ops.attention import get_decode_backend
-    from ..ops.decode_attention import S_BLK
-
-    if get_decode_backend() != "xla":
-        max_seq = ((max_seq + S_BLK - 1) // S_BLK) * S_BLK
+    The cache keeps the exact requested length — aligned decode attention
+    traffic scales with the static cache length (see grow_cache)."""
     b = prompt.shape[0]
     dtype = params["lm_head"].dtype
     cache = KVCache.zeros(config.net, b, max_seq, dtype=dtype,

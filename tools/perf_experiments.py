@@ -129,53 +129,9 @@ def main():
         t = timed(chain(event_step), emb0, params, cache, n=50)
         print(f"event step, cache {s}: {t:.3f} ms")
 
-    # pallas fused decode attention vs XLA slice+einsum (single layer)
-    from midi_model_tpu.ops.decode_attention import decode_attention
-
-    for s in (1024,):
-        ck = jnp.zeros((12, B, s, 16, 64), jnp.bfloat16)
-        cv = jnp.zeros_like(ck)
-        q = jnp.zeros((B, 16, 64), jnp.bfloat16)
-
-        def pallas_attn(q, ck, cv):
-            return decode_attention(q, ck, cv, jnp.int32(5), jnp.int32(s))[0, 0, 0]
-
-        t = timed(chain(pallas_attn), q, ck, cv)
-        print(f"pallas decode attn (1 layer, cache {s}): {t:.3f} ms")
-
-        def xla_attn_static(q, ck, cv):
-            k = jax.lax.dynamic_index_in_dim(ck, 5, axis=0, keepdims=False)
-            v = jax.lax.dynamic_index_in_dim(cv, 5, axis=0, keepdims=False)
-            scores = jnp.einsum("bhd,bthd->bht", q, k,
-                                preferred_element_type=jnp.float32) * (64**-0.5)
-            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-            out = jnp.einsum("bht,bthd->bhd", probs, v,
-                             preferred_element_type=jnp.float32)
-            return out[0, 0, 0]
-
-        t = timed(chain(xla_attn_static), q, ck, cv)
-        print(f"xla decode attn static-idx (1 layer, cache {s}): {t:.3f} ms")
-
-        def xla_attn_dynamic(q, ck, cv):
-            # dynamic layer index, like the real layer scan
-            li = jnp.asarray(q[0, 0, 0], jnp.int32) * 0 + 5
-            k = jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False)
-            v = jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False)
-            scores = jnp.einsum("bhd,bthd->bht", q, k,
-                                preferred_element_type=jnp.float32) * (64**-0.5)
-            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-            out = jnp.einsum("bht,bthd->bhd", probs, v,
-                             preferred_element_type=jnp.float32)
-            return out[0, 0, 0]
-
-        t = timed(chain(xla_attn_dynamic), q, ck, cv)
-        print(f"xla decode attn dynamic-idx (1 layer, cache {s}): {t:.3f} ms")
-
-        def pallas_attn_half(q, ck, cv):
-            return decode_attention(q, ck, cv, jnp.int32(5), jnp.int32(s // 2))[0, 0, 0]
-
-        t = timed(chain(pallas_attn_half), q, ck, cv)
-        print(f"pallas decode attn half-valid (1 layer): {t:.3f} ms")
+    # (the round-1 Pallas decode kernel was benchmarked here; it lost to
+    # XLA at every cache length 1024/2048/4096 and was cut in round 2 —
+    # the Pallas decode path now lives in ops/paged.py.)
 
 
 if __name__ == "__main__":
