@@ -47,6 +47,7 @@ class MidiVisualizer extends HTMLElement {
     this.absBeat = 0;        // running absolute t1 (delta-decoded)
     this.maxTick = 1;
     this.lanes = new Map();  // "track:channel" -> {svg, color, visible}
+    this.ccLines = new Map(); // "track:channel:controller" -> {line, points}
     this.notes = [];         // {tick, dur, pitch, vel, lane}
     this.tempoMap = [[0, 500000]]; // [tick, usPerBeat]
     this.playing = false;
@@ -120,9 +121,62 @@ class MidiVisualizer extends HTMLElement {
       const bpm = ev[4];
       this.tempoMap.push([tick, Math.round(60e6 / Math.max(1, bpm))]);
       this.growTo(tick);
+    } else if (name === "control_change") {
+      // cc value polylines per (track, channel, controller), drawn in the
+      // lane's color at reduced opacity (ref javascript/app.js:410-439)
+      const [channel, controller, value] = ev.slice(4);
+      const lane = this.laneFor(track, channel);
+      this.addCcPoint(lane, track, channel, controller, tick, value);
+      this.growTo(tick);
+    } else if (name === "time_signature" || name === "key_signature") {
+      this.drawMarker(name, tick, ev);
+      this.growTo(tick);
     } else {
       this.growTo(tick);
     }
+  }
+
+  addCcPoint(lane, track, channel, controller, tick, value) {
+    const key = `${track}:${channel}:${controller}`;
+    let cc = this.ccLines.get(key);
+    if (!cc) {
+      const line = document.createElementNS(
+        "http://www.w3.org/2000/svg", "polyline");
+      line.setAttribute("fill", "none");
+      line.setAttribute("stroke", lane.color);
+      line.setAttribute("stroke-opacity", "0.45");
+      line.setAttribute("stroke-width", "1");
+      lane.svg.appendChild(line);
+      cc = { line, points: [] };
+      this.ccLines.set(key, cc);
+    }
+    // cc drawn bottom-anchored: value 0..127 -> 1/4 of the roll height
+    const y = 128 * NOTE_H - (value / 127) * 32 * NOTE_H;
+    // step-style: hold the previous value until this tick
+    const pts = cc.points;
+    if (pts.length) pts.push(`${tick * PX_PER_TICK},${pts[pts.length - 1].split(",")[1]}`);
+    pts.push(`${tick * PX_PER_TICK},${y}`);
+    cc.line.setAttribute("points", pts.join(" "));
+  }
+
+  drawMarker(name, tick, ev) {
+    const KEYS = ["Cb", "Gb", "Db", "Ab", "Eb", "Bb", "F", "C", "G", "D",
+                  "A", "E", "B", "F#", "C#"];
+    let label;
+    if (name === "time_signature") {
+      const [nn, dd] = ev.slice(4);
+      label = `${nn + 1}/${1 << (dd + 1)}`;
+    } else {
+      const [sf, mi] = ev.slice(4);
+      label = `${KEYS[(sf | 0) + 7] || "?"}${mi ? "m" : ""}`;
+    }
+    const el = document.createElement("div");
+    el.textContent = label;
+    el.style.cssText =
+      `position:absolute;top:0;left:${tick * PX_PER_TICK}px;` +
+      "color:#ccc;font:10px monospace;background:rgba(0,0,0,.5);" +
+      "padding:0 2px;z-index:2";
+    this.stackEl.appendChild(el);
   }
 
   drawNote(lane, tick, dur, pitch, vel) {
@@ -173,7 +227,14 @@ class MidiVisualizer extends HTMLElement {
     requestAnimationFrame(step);
   }
 
-  finalize() { /* hook for end-of-generation styling */ }
+  finalize() {
+    // end-of-generation: draw the end bar and stop treating appends as live
+    const bar = document.createElement("div");
+    bar.style.cssText =
+      `position:absolute;top:0;left:${this.maxTick * PX_PER_TICK}px;` +
+      "width:2px;height:100%;background:#888";
+    this.stackEl.appendChild(bar);
+  }
 }
 
 customElements.define("midi-visualizer", MidiVisualizer);

@@ -317,6 +317,10 @@ def gen_examples(params, config, val_ds, args, step):
                 score = tokenizer.detokenize([list(r) for r in seq])
                 with open(os.path.join(out_dir, f"1_{i}.mid"), "wb") as f:
                     f.write(score2midi(score))
+                # piano-roll PNG for prompted continuations too
+                # (ref train.py:208-232 renders both sets)
+                tokenizer.midi2img(score).save(
+                    os.path.join(out_dir, f"1_{i}.png"))
     except Exception as e:  # sampling problems must not kill training
         print(f"gen_example failed: {e}")
 

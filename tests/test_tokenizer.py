@@ -149,3 +149,31 @@ def test_grammar_tables():
     assert t["n_params"][note_off] == 7
     lo, hi = t["param_lo"][note_off, 0], t["param_hi"][note_off, 0]
     assert list(range(lo, hi)) == tok.parameter_ids["time1"]
+
+
+def test_midi2img_geometry_golden():
+    """midi2img paints exactly the reference's pixels (colors are random in
+    the reference, so the golden captures image size + painted-pixel mask;
+    ref midi_tokenizer.py:343-363 / 1002-1022)."""
+    import pickle
+    from pathlib import Path
+
+    import numpy as np
+
+    from midi_model_tpu.midi import midi2score
+    from midi_model_tpu.tokenizer import MIDITokenizer
+
+    golden_dir = Path(__file__).parent / "golden"
+    with open(golden_dir / "midi2img.pkl", "rb") as f:
+        goldens = pickle.load(f)
+    with open(golden_dir / "codec.pkl", "rb") as f:
+        codec = pickle.load(f)
+
+    for ver, g in goldens.items():
+        tok = MIDITokenizer(ver)
+        score = midi2score(codec["rand_03"]["bytes"])
+        deco = tok.detokenize(tok.tokenize(score))
+        img = tok.midi2img(deco)
+        assert img.size == tuple(g["size"]), ver
+        mask = np.asarray(img).sum(axis=-1) > 0
+        np.testing.assert_array_equal(mask, g["mask"], err_msg=ver)

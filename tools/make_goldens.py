@@ -252,6 +252,25 @@ def main():
         pickle.dump(tok_goldens, f)
 
     total = sum(len(v["bytes"]) for v in codec_goldens.values())
+    # midi2img geometry golden: colors are np.random (unseeded) in the
+    # reference, so the stable invariant is WHICH pixels are painted and the
+    # image size, captured per tokenizer version.
+    img_goldens = {}
+    for ver in ("v1", "v2"):
+        tok = MIDITokenizer(ver)
+        score = MIDI.midi2score(corpus["rand_03"])
+        seq = tok.tokenize(score)
+        deco = tok.detokenize(seq)
+        img = tok.midi2img(deco)
+        import numpy as _np
+        arr = _np.asarray(img)
+        img_goldens[ver] = {
+            "size": img.size,
+            "mask": (arr.sum(axis=-1) > 0),
+        }
+    with open(OUT_DIR / "midi2img.pkl", "wb") as f:
+        pickle.dump(img_goldens, f)
+
     print(f"wrote {len(codec_goldens)} codec goldens ({total} bytes of midi), "
           f"{len(tok_goldens)} tokenizer configs -> {OUT_DIR}")
 
