@@ -341,13 +341,14 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
     Returns (hidden [B, D], k_pool, v_pool). Writes for rows at capacity are
     clamped to the last position (callers must retire such slots).
 
-    The fresh token is NOT written before attention: the kernel attends the
-    cached history (lengths = index) and returns flash stats (m, l), and the
-    token's self-attention term merges analytically. This lets all layers'
-    pool writes batch into ONE kv_append kernel call per event (the
-    per-layer writes were a measurable per-call overhead at short lengths).
+    Pools use the all-heads flat layout ``[n_pages, page_size, Hkv*LANE]``
+    (ops/paged_allheads.py). The fresh token is NOT written before
+    attention: the kernel attends the cached history (lengths = index) and
+    returns flash stats (m, l), and the token's self-attention term merges
+    analytically. This lets all layers' pool writes batch into ONE
+    kv_append kernel call per event.
     """
-    from ..ops.paged import kv_append, paged_attention_stats
+    from ..ops import paged_allheads as pa
 
     b, d = x.shape
     h, hkv, dh = cfg.num_heads, cfg.kv_heads, cfg.head_dim
@@ -365,7 +366,6 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
                             cfg.rope_theta)  # [B, 1, Dh]
     scale = dh ** -0.5
     slot_ids = jnp.arange(b, dtype=jnp.int32)
-    page_iota = jnp.arange(pps, dtype=jnp.int32)
 
     def body(carry, lp):
         xx, li = carry
@@ -377,14 +377,14 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
         k = apply_rope(k, cos, sin)
         k, v = k[:, 0], v[:, 0]  # [B, Hkv, Dh]
 
-        page_base = (li * b + slot_ids) * pps
-        page_indices = page_base[:, None] + page_iota[None, :]
+        base_pages = (li * b + slot_ids) * pps
         # q pre-scaled in fp32 (the kernel has no internal scaling; fp32
         # matches the dense path's fp32-score scaling for HF parity)
         qs = q[:, 0].astype(jnp.float32) * scale
-        o, m, l = paged_attention_stats(
-            qs, k_pool, v_pool, lengths, page_indices,
-            pages_per_compute_block=pages_per_compute_block)
+        o, m, l = pa.paged_attention_stats(
+            qs, k_pool, v_pool, lengths, base_pages, page_size=page_size,
+            pages_per_slot=pps, kv_heads=hkv, head_dim=dh,
+            ppcb=pages_per_compute_block)
 
         # flash merge of the fresh token's self term; for length-0 rows
         # (m=-inf, l=0) this reduces to exactly the self attention
@@ -402,20 +402,21 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
         hm = rms_norm(xx, lp["ln_mlp"], eps)
         gated = jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])
         xx = xx + gated @ lp["w_down"]
-        return (xx, li + 1), (k, v)
+        return (xx, li + 1), (pa.pack_heads(k, hkv, dh),
+                              pa.pack_heads(v, hkv, dh))
 
     (x, _), (ks, vs) = jax.lax.scan(
         body, (x, jnp.zeros((), jnp.int32)), params["layers"])
 
-    # one batched write for all layers: rows [L*B, Hkv, Dh], absolute pages
-    # (l*B + b)*pps + pos//page_size
+    # one batched write for all layers: packed rows [L*B, Hkv*LANE],
+    # absolute pages (l*B + b)*pps + pos//page_size
     layer_ids = jnp.arange(n_layers, dtype=jnp.int32)
     pages = ((layer_ids[:, None] * b + slot_ids[None, :]) * pps
              + (write_pos // page_size)[None, :]).reshape(-1)
     offsets = jnp.tile(write_pos % page_size, n_layers)
-    k_pool, v_pool = kv_append(
-        k_pool, v_pool, ks.reshape(n_layers * b, hkv, dh),
-        vs.reshape(n_layers * b, hkv, dh), pages, offsets)
+    k_pool, v_pool = pa.kv_append(
+        k_pool, v_pool, ks.reshape(n_layers * b, -1),
+        vs.reshape(n_layers * b, -1), pages, offsets)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, k_pool, v_pool

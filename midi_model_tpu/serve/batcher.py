@@ -103,29 +103,27 @@ def _splice_slot(slot, p_len, k_pool, v_pool, hidden_all, index_all,
     """Install a prefilled request into slot ``slot``'s page range.
 
     pre_k/pre_v: dense prefill cache [L, 1, bucket, Hkv, D] (bucket a multiple
-    of page_size); repaged to [L, Hkv, bucket/ps, ps, D] and written with one
-    dynamic-update-slice per layer at the slot's (layer-folded) page base.
+    of page_size); packed to the all-heads flat page layout
+    [L, bucket/ps, ps, Hkv*LANE] and written with one dynamic-update-slice
+    per layer at the slot's (layer-folded) page base.
     """
+    from ..ops.paged_allheads import pack_heads
+
     l_n, _, bucket, hkv, d = pre_k.shape
     n_pages = bucket // page_size
-    d_pool = k_pool.shape[-1]
-    pre_k = jnp.transpose(pre_k[:, 0], (0, 2, 1, 3)).reshape(
-        l_n, hkv, n_pages, page_size, d)
-    pre_v = jnp.transpose(pre_v[:, 0], (0, 2, 1, 3)).reshape(
-        l_n, hkv, n_pages, page_size, d)
-    if d < d_pool:  # pools are lane-padded (ops/paged.py)
-        pad = [(0, 0)] * 4 + [(0, d_pool - d)]
-        pre_k = jnp.pad(pre_k, pad)
-        pre_v = jnp.pad(pre_v, pad)
+    pre_k = pack_heads(pre_k[:, 0], hkv, d).reshape(
+        l_n, n_pages, page_size, -1)
+    pre_v = pack_heads(pre_v[:, 0], hkv, d).reshape(
+        l_n, n_pages, page_size, -1)
 
     def body(carry, pre):
         kp, vp, li = carry
         pk, pv = pre
         base = (li * n_slots + slot) * pages_per_slot
         kp = jax.lax.dynamic_update_slice(kp, pk.astype(kp.dtype),
-                                          (0, base, 0, 0))
+                                          (base, 0, 0))
         vp = jax.lax.dynamic_update_slice(vp, pv.astype(vp.dtype),
-                                          (0, base, 0, 0))
+                                          (base, 0, 0))
         return (kp, vp, li + 1), None
 
     (k_pool, v_pool, _), _ = jax.lax.scan(
@@ -240,7 +238,7 @@ class ContinuousBatcher:
                                                    disable_eos=disable_eos))
         dtype = params["lm_head"].dtype
         net = config.net
-        from ..ops.paged import alloc_pools
+        from ..ops.paged_allheads import alloc_pools
 
         n_pages = net.num_layers * n_slots * self.pages_per_slot
         self._k_pool, self._v_pool = alloc_pools(

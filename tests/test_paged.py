@@ -1,4 +1,5 @@
-"""Paged KV pool ops: append-kernel and paged-attention reference parity."""
+"""All-heads paged KV pool ops: kernel parity (interpret mode) + decode_paged
+vs the dense per-row forward."""
 
 import numpy as np
 import pytest
@@ -6,15 +7,20 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from midi_model_tpu.ops import paged
+from midi_model_tpu.ops import paged_allheads as pa
 
 
 @pytest.fixture(scope="module")
 def pool():
     rng = np.random.default_rng(0)
-    hkv, n_pages, ps, d = 4, 24, 16, 64
-    k = jnp.asarray(rng.normal(size=(hkv, n_pages, ps, d)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(hkv, n_pages, ps, d)), jnp.float32)
+    hkv, n_pages, ps, d = 4, 34, 16, 64
+    k, v = pa.alloc_pools(hkv, n_pages, ps, d, jnp.float32)
+    k = k.at[...].set(np.asarray(pa.pack_heads(
+        jnp.asarray(rng.normal(size=(n_pages, ps, hkv, d)), jnp.float32),
+        hkv, d)))
+    v = v.at[...].set(np.asarray(pa.pack_heads(
+        jnp.asarray(rng.normal(size=(n_pages, ps, hkv, d)), jnp.float32),
+        hkv, d)))
     return k, v
 
 
@@ -22,49 +28,43 @@ def test_kv_append_kernel_matches_xla(pool):
     """The Pallas append kernel (interpret mode on CPU) == the XLA scatter."""
     k, v = pool
     rng = np.random.default_rng(1)
-    b, hkv, d = 3, k.shape[0], k.shape[3]
-    new_k = jnp.asarray(rng.normal(size=(b, hkv, d)), jnp.float32)
-    new_v = jnp.asarray(rng.normal(size=(b, hkv, d)), jnp.float32)
-    pages = jnp.asarray([0, 9, 23], jnp.int32)
+    b, w = 3, k.shape[-1]
+    new_k = jnp.asarray(rng.normal(size=(b, w)), jnp.float32)
+    new_v = jnp.asarray(rng.normal(size=(b, w)), jnp.float32)
+    pages = jnp.asarray([0, 9, 33], jnp.int32)
     offs = jnp.asarray([5, 0, 15], jnp.int32)
 
-    k_ref, v_ref = paged._kv_append_xla(k, v, new_k, new_v, pages, offs)
-    k_pl, v_pl = paged._kv_append_tpu(k, v, new_k, new_v, pages, offs,
-                                      interpret=True)
+    k_ref, v_ref = pa._kv_append_xla(k, v, new_k, new_v, pages, offs)
+    k_pl, v_pl = pa._kv_append_tpu(k, v, new_k, new_v, pages, offs,
+                                   interpret=True)
     np.testing.assert_array_equal(np.asarray(k_pl), np.asarray(k_ref))
     np.testing.assert_array_equal(np.asarray(v_pl), np.asarray(v_ref))
 
 
-def test_paged_attention_xla_matches_dense(pool):
-    """The XLA reference paged attention == dense masked attention."""
-    k_pool, v_pool = pool
+def test_decode_kernel_matches_xla(pool):
+    """The all-heads flash kernel (interpret mode) == dense masked attention,
+    including GQA mapping, zero-length skip, and the (m, l) stats."""
+    k, v = pool
     rng = np.random.default_rng(2)
-    b, h, d = 3, 8, 64  # GQA groups = 2
-    hkv, _, ps, _ = k_pool.shape
-    pps = 4
+    b, h, hkv, d, ps, pps = 5, 8, 4, 64, 16, 6
     q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32) * (d ** -0.5)
-    page_indices = jnp.asarray(
-        [[0, 1, 2, 3], [8, 9, 10, 11], [20, 21, 22, 23]], jnp.int32)
-    lengths = jnp.asarray([37, 0, 64], jnp.int32)  # incl. a skipped row
+    lengths = jnp.asarray([37, 0, 96, 1, 64], jnp.int32)
+    base = jnp.asarray([0, 6, 12, 18, 24], jnp.int32)
 
-    out = paged.paged_attention(q, k_pool, v_pool, lengths, page_indices)
-
-    # dense reference
-    for row in (0, 2):
-        ks = np.concatenate([np.asarray(k_pool[:, p]) for p in
-                             np.asarray(page_indices[row])], axis=1)  # [Hkv,T,D]
-        vs = np.concatenate([np.asarray(v_pool[:, p]) for p in
-                             np.asarray(page_indices[row])], axis=1)
-        t = int(lengths[row])
-        ks, vs = ks[:, :t], vs[:, :t]
-        groups = h // hkv
-        ks = np.repeat(ks, groups, axis=0)  # [H, T, D]
-        vs = np.repeat(vs, groups, axis=0)
-        scores = np.einsum("hd,htd->ht", np.asarray(q[row]), ks)
-        p_ = np.exp(scores - scores.max(-1, keepdims=True))
-        p_ /= p_.sum(-1, keepdims=True)
-        expect = np.einsum("ht,htd->hd", p_, vs)
-        np.testing.assert_allclose(np.asarray(out[row]), expect, atol=1e-5)
+    o, m, l = pa.paged_attention_stats(
+        q, k, v, lengths, base, page_size=ps, pages_per_slot=pps,
+        kv_heads=hkv, head_dim=d, ppcb=2, interpret=True)
+    o_r, m_r, l_r = pa._decode_xla(q, k, v, lengths, base, page_size=ps,
+                                   pages_per_slot=pps, kv_heads=hkv,
+                                   head_dim=d)
+    live = np.asarray(lengths) > 0
+    np.testing.assert_allclose(np.asarray(o)[live], np.asarray(o_r)[live],
+                               atol=3e-2)
+    np.testing.assert_allclose(np.asarray(m)[live], np.asarray(m_r)[live],
+                               atol=3e-2)
+    np.testing.assert_allclose(np.asarray(l)[live], np.asarray(l_r)[live],
+                               rtol=2e-2)
+    assert np.all(np.asarray(l)[~live] == 0)
 
 
 def test_decode_paged_matches_dense_forward():
@@ -80,23 +80,18 @@ def test_decode_paged_matches_dense_forward():
     cap = ps * pps
     rng = np.random.default_rng(3)
 
-    # build histories of different lengths via the dense per-row path
     lengths = np.asarray([5, 1, 17, 31], np.int32)
     dense = llama.KVCache.zeros(cfg, b, cap, per_row=True)
     hkv, dh, l_n = cfg.kv_heads, cfg.head_dim, cfg.num_layers
-    k_pool = jnp.zeros((hkv, l_n * b * pps, ps, dh), jnp.float32)
-    v_pool = jnp.zeros_like(k_pool)
+    k_pool, v_pool = pa.alloc_pools(hkv, l_n * b * pps, ps, dh, jnp.float32)
 
     x_hist = jnp.asarray(rng.normal(size=(b, int(lengths.max()), cfg.hidden_size)),
                          jnp.float32) * 0.1
-    # feed token-by-token through BOTH paths (per-row dense vs paged)
     idx = jnp.zeros((b,), jnp.int32)
-    active_steps = jnp.asarray(lengths)
     h_dense = h_paged = None
     for t in range(int(lengths.max())):
         active = jnp.asarray(t < lengths)
         xt = x_hist[:, t]
-        # dense per-row path
         dense_in = llama.KVCache(dense.k, dense.v, idx)
         hd, dense_new = llama.forward(params, cfg, xt[:, None, :],
                                       cache=dense_in)
