@@ -41,20 +41,28 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def head_stride(head_dim: int) -> int:
-    return max(head_dim, LANE)
+def head_stride(head_dim: int, kv_heads: int = 1) -> int:
+    """Smallest per-head stride that lane-aligns the packed page row
+    (Hkv * stride % 128 == 0). No padding when Hkv*head_dim already aligns —
+    padding multiplies the kernel's HBM traffic, which is the whole cost of
+    decode attention (the real model: 16 heads x 64 dims = 1024, unpadded).
+    """
+    stride = head_dim
+    while (kv_heads * stride) % LANE:
+        stride += 1
+    return stride
 
 
 def alloc_pools(kv_heads: int, n_pages: int, page_size: int, head_dim: int,
                 dtype):
-    """Zeroed (k_pool, v_pool): [n_pages, page_size, kv_heads * LANE]."""
-    shape = (n_pages, page_size, kv_heads * head_stride(head_dim))
+    """Zeroed (k_pool, v_pool): [n_pages, page_size, kv_heads * head_dim]."""
+    shape = (n_pages, page_size, kv_heads * head_stride(head_dim, kv_heads))
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
 def pack_heads(x, kv_heads: int, head_dim: int):
-    """[..., Hkv, D] -> [..., Hkv*LANE] (lane-padded per head)."""
-    hs = head_stride(head_dim)
+    """[..., Hkv, D] -> [..., Hkv*stride] (flat packed row)."""
+    hs = head_stride(head_dim, kv_heads)
     if head_dim < hs:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, hs - head_dim)]
         x = jnp.pad(x, pad)
@@ -138,14 +146,17 @@ def _decode_kernel(lengths_ref, base_pages_ref, qd_ref, kpool_hbm, vpool_hbm,
                    num_heads: int, kv_heads: int):
     """Grid (B,): flash attention over slot b's contiguous pages, all heads.
 
-    qd_ref: [Hkv*LANE, H] block-diagonal Q (pre-scaled, f32->bf16 by caller).
-    kbuf/vbuf: VMEM [2, ppcb, page_size, Hkv*LANE] double buffers.
-    o_ref: [H, LANE]; m_ref/l_ref: [H, 1] f32 flash stats.
+    qd_ref: [W, H] block-diagonal Q (pre-scaled, f32->bf16 by caller),
+    W = Hkv * head_stride. kbuf/vbuf: VMEM [2, ppcb, page_size, W] double
+    buffers. o_ref: [H, W] NORMALIZED accumulator — each head's context is
+    its diagonal head-block, extracted by the caller in XLA (an unaligned
+    in-kernel lane slice would force padding, doubling HBM traffic);
+    m_ref/l_ref: [H, 1] f32 flash stats.
     """
     b = pl.program_id(0)
     length = lengths_ref[b]
     base = base_pages_ref[b]
-    w = kv_heads * LANE
+    w = kbuf.shape[-1]
     bk = ppcb * page_size
     n_blocks = pl.cdiv(length, bk)
     groups = num_heads // kv_heads
@@ -213,12 +224,7 @@ def _decode_kernel(lengths_ref, base_pages_ref, qd_ref, kpool_hbm, vpool_hbm,
         m0 = jnp.full((num_heads, 1), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((num_heads, 1), jnp.float32)
         acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
-
-        # each head's context is its kv block's diagonal 128-lane slice
-        rows = [acc[h: h + 1, (h // groups) * LANE: (h // groups + 1) * LANE]
-                for h in range(num_heads)]
-        o = jnp.concatenate(rows, axis=0)  # [H, LANE]
-        o_ref[...] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         m_ref[...] = m
         l_ref[...] = l
 
@@ -227,7 +233,7 @@ def _decode_tpu(q_diag, k_pool, v_pool, lengths, base_pages, *,
                 page_size: int, ppcb: int, pages_per_slot: int,
                 num_heads: int, kv_heads: int, interpret: bool = False):
     b = lengths.shape[0]
-    w = kv_heads * LANE
+    w = k_pool.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # lengths, base_pages
         grid=(b,),
@@ -237,7 +243,7 @@ def _decode_tpu(q_diag, k_pool, v_pool, lengths, base_pages, *,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((None, num_heads, LANE), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((None, num_heads, w), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((None, num_heads, 1), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((None, num_heads, 1), lambda b, *_: (b, 0, 0)),
         ],
@@ -255,7 +261,7 @@ def _decode_tpu(q_diag, k_pool, v_pool, lengths, base_pages, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, num_heads, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_heads, w), jnp.float32),
             jax.ShapeDtypeStruct((b, num_heads, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, num_heads, 1), jnp.float32),
         ],
@@ -269,7 +275,7 @@ def _decode_xla(q, k_pool, v_pool, lengths, base_pages, *, page_size: int,
                 pages_per_slot: int, kv_heads: int, head_dim: int):
     """Dense reference (CPU tests): gather each slot's pages, masked flash."""
     b, h, d = q.shape
-    hs = head_stride(head_dim)
+    hs = head_stride(head_dim, kv_heads)
     cap = pages_per_slot * page_size
     page_ids = base_pages[:, None] + jnp.arange(pages_per_slot)[None, :]
     k = k_pool[page_ids]  # [B, pps, ps, Hkv*hs]
@@ -293,12 +299,12 @@ def _decode_xla(q, k_pool, v_pool, lengths, base_pages, *, page_size: int,
 def build_q_diag(q, kv_heads: int, head_dim: int):
     """[B, H, D] pre-scaled q -> block-diagonal [B, Hkv*LANE, H] (bf16).
 
-    Row ``hkv*LANE + d`` has ``q[b, h, d]`` in column ``h`` iff head h maps
-    to kv head hkv (GQA mapping h // groups == hkv), else 0 — so
+    Row ``hkv*stride + d`` has ``q[b, h, d]`` in column ``h`` iff head h
+    maps to kv head hkv (GQA mapping h // groups == hkv), else 0 — so
     ``k_page @ q_diag`` computes every head's scores in one matmul.
     """
     b, h, d = q.shape
-    hs = head_stride(head_dim)
+    hs = head_stride(head_dim, kv_heads)
     groups = h // kv_heads
     mapping = (jnp.arange(h) // groups)[:, None] == jnp.arange(kv_heads)[None]
     # [B, H, D] x [H, Hkv] -> [B, Hkv, D, H]
@@ -322,10 +328,19 @@ def paged_attention_stats(q, k_pool, v_pool, lengths, base_pages, *,
     if jax.default_backend() == "tpu" or interpret:
         ppcb = int(np.gcd(ppcb, pages_per_slot))
         qd = build_q_diag(q, kv_heads, d)
-        o, m, l = _decode_tpu(
+        acc, m, l = _decode_tpu(
             qd, k_pool, v_pool, lengths, base_pages, page_size=page_size,
             ppcb=ppcb, pages_per_slot=pages_per_slot, num_heads=h,
             kv_heads=kv_heads, interpret=interpret)
+        # each head's context is its kv head's diagonal block of the
+        # normalized accumulator (extracted here — cheap in XLA, expensive
+        # as an unaligned lane slice in the kernel)
+        hs = head_stride(d, kv_heads)
+        groups = h // kv_heads
+        mapping = ((jnp.arange(h) // groups)[:, None]
+                   == jnp.arange(kv_heads)[None]).astype(acc.dtype)
+        o = jnp.einsum("bhgd,hg->bhd",
+                       acc.reshape(b, h, kv_heads, hs), mapping)
         return o[..., :d], m[..., 0], l[..., 0]
     o, m, l = _decode_xla(q, k_pool, v_pool, lengths, base_pages,
                           page_size=page_size, pages_per_slot=pages_per_slot,

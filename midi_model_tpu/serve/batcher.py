@@ -25,11 +25,10 @@ Grammar masking and sampling semantics match sampling/generate.py exactly.
 Host/device discipline: per-slot bookkeeping must fetch device arrays to the
 host ONCE per step — indexing a device array per slot costs a full transfer
 round trip each time.  Measured throughput (tv2o-medium, one v5e chip,
-paged pool, chunk=64): ~4.2k events/sec at 32 slots, ~5.4k at 128 (round-1
-dense/blend design measured 2.3k / 3.3k). The remaining gap to aligned
-decode is the paged kernel's (slot x kv_head) grid serializing on the
-single v5e core (~0.25 ms/layer of cell overhead at 32 slots) — an
-all-heads-per-cell kernel with whole-page DMAs is the known next step.
+all-heads paged kernel with unpadded packed pages, chunk=64): ~7.5k
+events/sec at 32 slots, ~12.2k at 128 — 3.2x/3.7x the round-1 dense/blend
+design (2.3k / 3.3k); the kernel's cache reads stream at ~85% of HBM peak
+(2.24 us per cached position at bs=32), ~2x the dense XLA decode path.
 Note: this container's remote compiler crashes on exactly-64-slot programs —
 use 32 or 128 slots; chunk size is free.
 """

@@ -1,0 +1,132 @@
+"""Component attribution for the decode path, measured INSIDE one dispatch.
+
+Each probe chains N iterations of one component inside a single jitted
+program (lax.fori_loop with data dependencies), so the axon tunnel's
+multi-ms per-dispatch overhead and run-to-run variance cannot pollute the
+attribution. Reports device ms per iteration.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midi_model_tpu.models import MIDIModelConfig, llama, midinet
+from midi_model_tpu.models.llama import KVCache
+from midi_model_tpu.sampling.generate import _decode_one_event, _mask_arrays
+from midi_model_tpu.sampling.masks import build_mask_table
+from midi_model_tpu.sampling.topk_topp import sample_top_p_k
+
+B = 32
+N = 64
+
+
+def timeit(fn, *args, label=""):
+    # fn must return a SCALAR: fetching big arrays over the axon tunnel is
+    # ~seconds and would swamp the measurement
+    float(fn(*args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, (time.perf_counter() - t0))
+    print(f"{label}: {best / N * 1000:.3f} ms/iter  ({best*1000:.1f} ms / {N})")
+
+
+def main():
+    config = MIDIModelConfig.from_name("tv2o-medium")
+    tok = config.tokenizer
+    params = midinet.init_params(jax.random.PRNGKey(0), config,
+                                 dtype=jnp.bfloat16)
+    masks = _mask_arrays(build_mask_table(tok, disable_eos=True))
+    key = jax.random.PRNGKey(0)
+
+    # 1. full event (token scan + sampling + event-net cached step), cache 513
+    @jax.jit
+    def full_events(params, state):
+        def body(i, st):
+            st, _row = _decode_one_event(params, config, st, masks, 1.0,
+                                         0.98, 20, jax.random.fold_in(key, i),
+                                         False)
+            return st
+        st = jax.lax.fori_loop(0, N, body, state)
+        return st.hidden.astype(jnp.float32).sum()
+
+    from midi_model_tpu.sampling.generate import prefill, normalize_prompt
+    prompt = jnp.asarray(normalize_prompt(tok, None, B))
+    state0 = prefill(params, config, prompt, 513)
+    timeit(full_events, params, state0, label="full event (cache 513)")
+
+    # 2. token-net scan + sampling only (hidden fixed)
+    hidden = jnp.zeros((B, config.n_embd), jnp.bfloat16)
+
+    @jax.jit
+    def token_loops(params, hidden):
+        tok_cfg = config.net_token
+        t_max = tok.max_token_seq
+        first, steps_tbl, pad_only = masks
+
+        def one_loop(i, h):
+            cache2 = KVCache.zeros(tok_cfg, B, t_max, dtype=jnp.bfloat16)
+
+            def token_step(carry, xs):
+                cache2, prev_tok = carry
+                j, sk = xs
+                inp = jnp.where(j == 0, h.astype(jnp.bfloat16),
+                                jnp.take(params["net_token"]["embed"],
+                                         prev_tok, axis=0))[:, None, :]
+                hh, cache2 = llama.forward(params["net_token"], tok_cfg, inp,
+                                           cache=cache2)
+                logits = midinet.lm_head(params, hh[:, 0])
+                probs = jax.nn.softmax(logits, axis=-1) * first[None, :]
+                t = sample_top_p_k(probs, 0.98, 20, sk)
+                return (cache2, t.astype(jnp.int32)), None
+
+            keys = jax.random.split(jax.random.fold_in(key, i), t_max)
+            (c2, t), _ = jax.lax.scan(
+                token_step, (cache2, jnp.zeros((B,), jnp.int32)),
+                (jnp.arange(t_max), keys))
+            return h + t[:, None].astype(h.dtype) * 1e-9
+
+        return jax.lax.fori_loop(0, N, one_loop, hidden
+                                 ).astype(jnp.float32).sum()
+
+    timeit(token_loops, params, hidden, label="token scan+sample (8 steps)")
+
+    # 3. sampling alone (8 per iter)
+    logits0 = jnp.zeros((B, tok.vocab_size), jnp.float32)
+
+    @jax.jit
+    def samples(logits):
+        def body(i, lg):
+            probs = jax.nn.softmax(lg, axis=-1)
+            t = sample_top_p_k(probs, 0.98, 20, jax.random.fold_in(key, i))
+            return lg + t[:, None].astype(lg.dtype) * 1e-9
+        return jax.lax.fori_loop(0, 8 * N, body, logits).sum()
+
+    timeit(samples, logits0, label="sampling x8")
+
+    # 4. event-net cached step alone, cache 513
+    emb = jnp.zeros((B, 1, config.n_embd), jnp.bfloat16)
+    cache = KVCache.zeros(config.net, B, 513, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def event_steps(params, emb, cache):
+        def body(i, carry):
+            e, c = carry
+            h, c2 = llama.forward(params["net"], config.net, e, cache=c)
+            c2 = c2._replace(index=c.index)  # keep static-ish length
+            return (e + h * 1e-9, c2)
+        e, _ = jax.lax.fori_loop(0, N, body, (emb, cache))
+        return e.astype(jnp.float32).sum()
+
+    timeit(event_steps, params, emb, cache, label="event-net step (cache 513)")
+
+
+if __name__ == "__main__":
+    main()
