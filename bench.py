@@ -30,8 +30,7 @@ def main():
     import jax.numpy as jnp
 
     from midi_model_tpu.models import MIDIModelConfig, midinet
-    from midi_model_tpu.sampling import (build_mask_table, decode_events,
-                                         grow_cache, prefill)
+    from midi_model_tpu.sampling import build_mask_table, decode_events, prefill
     from midi_model_tpu.sampling.generate import _mask_arrays, normalize_prompt
 
     config = MIDIModelConfig.from_name("tv2o-medium")
@@ -44,18 +43,13 @@ def main():
     masks = _mask_arrays(build_mask_table(tokenizer, disable_eos=True))
     key = jax.random.PRNGKey(42)
 
-    half = MAX_EVENTS // 2
-
     def run():
-        """Bucketed decode: first half in a half-size cache (attention reads
-        scale with the static cache length), then grow and finish."""
-        state = prefill(params, config, prompt, 1 + half)
-        state, rows1, n1 = decode_events(
-            params, config, state, masks, half, 1.0, 0.98, 20, key)
-        state = grow_cache(state, 1 + MAX_EVENTS)
-        state, rows2, n2 = decode_events(
-            params, config, state, masks, half, 1.0, 0.98, 20, key)
-        return int(n1) + int(n2)
+        """Paged decode: pool at full capacity upfront — attention reads
+        scale with the true decoded length, so no bucketing is needed."""
+        state = prefill(params, config, prompt, 1 + MAX_EVENTS)
+        state, rows, n = decode_events(
+            params, config, state, masks, MAX_EVENTS, 1.0, 0.98, 20, key)
+        return int(n)
 
     run()  # compile + warmup (same programs as the timed runs)
     best = 0.0

@@ -4,7 +4,6 @@ from .generate import (
     GenState,
     decode_events,
     generate,
-    grow_cache,
     normalize_prompt,
     prefill,
 )
@@ -17,7 +16,6 @@ __all__ = [
     "build_mask_table",
     "decode_events",
     "generate",
-    "grow_cache",
     "normalize_prompt",
     "prefill",
     "sample_greedy",

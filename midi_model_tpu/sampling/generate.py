@@ -5,8 +5,10 @@ midi_model.py:167-250) crosses the host↔device boundary ~17× per event
 (1 event forward + 8 token forwards + 8 host-built masks/syncs).  Here the
 whole loop lives on device:
 
-- the event-level KV cache is a preallocated static-shape ring written at a
-  dynamic index (two-level cache design per SURVEY.md §7.3);
+- the event-level KV cache is an all-heads paged pool (ops/paged_allheads):
+  attention traffic scales with the true decoded length and the Pallas
+  kernel streams cache reads at ~85% of HBM peak (two-level cache design
+  per SURVEY.md §7.3; the opt-in int8 cache keeps a dense ring instead);
 - the 8-step inner token loop is a ``lax.scan`` whose grammar constraints come
   from precomputed mask tables (masks.py) — variable event arity and per-row
   eos become masked fixed-shape steps, exactly reproducing the reference's
@@ -39,12 +41,32 @@ from .topk_topp import sample_greedy, sample_top_p_k
 
 
 class GenState(NamedTuple):
-    """Carried decode state between chunks (all statically shaped)."""
+    """Carried decode state between chunks (all statically shaped).
 
-    cache: KVCache  # event-net KV cache, max_seq = prompt + max generated
+    Default path: the event-net KV lives in an all-heads PAGED POOL
+    (ops/paged_allheads.py) — attention traffic scales with the TRUE current
+    length, not the preallocated capacity, so no cache-growth bucketing is
+    needed and the Pallas kernel streams cache reads at ~85% of HBM peak
+    (~2x the dense XLA path). ``cache`` is populated instead of the pools
+    only for the opt-in int8 dense cache (``kv_int8``), which the paged
+    kernel does not quantize yet.
+    """
+
+    k_pool: Optional[jax.Array]  # [L*B*pps, page_size, Hkv*stride] or None
+    v_pool: Optional[jax.Array]
+    cache: Optional[KVCache]  # dense (int8) event cache — kv_int8 path only
     hidden: jax.Array  # [B, D] hidden of the last consumed event row
     cur_len: jax.Array  # int32: rows consumed so far (prompt + generated)
     all_eos: jax.Array  # bool: every row emitted eos in the same event step
+
+    def capacity(self, config: MIDIModelConfig, batch: int) -> int:
+        if self.cache is not None:
+            return self.cache.k.shape[2]
+        n_pages, ps, _ = self.k_pool.shape
+        return (n_pages // (config.net.num_layers * batch)) * ps
+
+
+PAGE_SIZE = 64  # aligned-decode pool page size (DMA granularity)
 
 
 def _mask_arrays(table: MaskTable):
@@ -55,50 +77,46 @@ def _mask_arrays(table: MaskTable):
 @functools.partial(jax.jit, static_argnames=("config", "max_seq", "kv_int8"))
 def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
             kv_int8: bool = False) -> GenState:
-    """Run the event net over the prompt rows, filling the event cache.
+    """Run the event net over the prompt rows, then pack the prompt KV into
+    the paged pool (capacity ``max_seq`` rounded up to whole pages).
 
-    The cache keeps the exact requested length — aligned decode attention
-    traffic scales with the static cache length (see grow_cache)."""
-    b = prompt.shape[0]
+    ``kv_int8`` keeps the dense quantized cache instead (storage halves, but
+    reads cover the full static length)."""
+    from ..ops.paged_allheads import alloc_pools, pack_heads
+
+    b, p_len, _ = prompt.shape
     dtype = params["lm_head"].dtype
-    cache = KVCache.zeros(config.net, b, max_seq, dtype=dtype,
-                          quantized=kv_int8)
-    hidden, cache = midinet.forward(params, config, prompt, cache=cache)
+    net = config.net
+    if kv_int8:
+        cache = KVCache.zeros(net, b, max_seq, dtype=dtype, quantized=True)
+        hidden, cache = midinet.forward(params, config, prompt, cache=cache)
+        return GenState(
+            k_pool=None, v_pool=None, cache=cache, hidden=hidden[:, -1],
+            cur_len=jnp.asarray(p_len, jnp.int32),
+            all_eos=jnp.asarray(False))
+
+    ps = PAGE_SIZE
+    pps = -(-max_seq // ps)  # capacity in pages per (layer, row)
+    n_pre = -(-p_len // ps)
+    scratch = KVCache.zeros(net, b, n_pre * ps, dtype=dtype)
+    hidden, scratch = midinet.forward(params, config, prompt, cache=scratch)
+
+    l_n, hkv, dh = net.num_layers, net.kv_heads, net.head_dim
+    k_pool, v_pool = alloc_pools(hkv, l_n * b * pps, ps, dh, dtype)
+    w = k_pool.shape[-1]
+
+    def pack(pool, dense):  # dense: [L, B, n_pre*ps, Hkv, Dh]
+        packed = pack_heads(dense, hkv, dh).reshape(l_n * b, n_pre, ps, w)
+        pool = pool.reshape(l_n * b, pps, ps, w)
+        pool = jax.lax.dynamic_update_slice(pool, packed.astype(pool.dtype),
+                                            (0, 0, 0, 0))
+        return pool.reshape(-1, ps, w)
+
     return GenState(
-        cache=cache,
-        hidden=hidden[:, -1],
-        cur_len=jnp.asarray(prompt.shape[1], jnp.int32),
-        all_eos=jnp.asarray(False),
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("new_size",))
-def grow_cache(state: GenState, new_size: int) -> GenState:
-    """Grow the event cache to ``new_size`` positions (one copy).
-
-    NOT donated: the padded output cannot reuse the smaller input buffers, so
-    donation would only produce "donated buffers were not usable" warnings —
-    the old cache is freed as soon as the caller rebinds ``state``.
-
-    Decode attention reads the whole static cache every step, so running the
-    early portion of a long generation in a smaller cache and growing it at
-    bucket boundaries trades one ~GB copy for hundreds of cheaper steps
-    (measured: 512-event decode at cache 513 is ~1.5× faster than at 1025).
-    """
-    cache = state.cache
-    old = cache.k.shape[2]
-    if new_size < old:
-        raise ValueError(f"cannot shrink cache {old} -> {new_size}")
-    pad = [(0, 0), (0, 0), (0, new_size - old), (0, 0), (0, 0)]
-    k = jnp.pad(cache.k, pad)
-    v = jnp.pad(cache.v, pad)
-    ks = vs = None
-    if cache.k_scale is not None:
-        spad = pad[:-1]
-        ks = jnp.pad(cache.k_scale, spad)
-        vs = jnp.pad(cache.v_scale, spad)
-    return state._replace(cache=KVCache(k=k, v=v, index=cache.index,
-                                        k_scale=ks, v_scale=vs))
+        k_pool=pack(k_pool, scratch.k), v_pool=pack(v_pool, scratch.v),
+        cache=None, hidden=hidden[:, -1],
+        cur_len=jnp.asarray(p_len, jnp.int32),
+        all_eos=jnp.asarray(False))
 
 
 def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
@@ -150,13 +168,21 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
 
     # Feed the sampled row through the event net (conditions the next event).
     emb = midinet.embed_events(params, row[:, None, :])
-    h, cache1 = llama.forward(params["net"], config.net, emb, cache=state.cache)
-    return GenState(
-        cache=cache1,
-        hidden=h[:, 0],
-        cur_len=state.cur_len + 1,
-        all_eos=jnp.all(ended),
-    ), row
+    if state.cache is not None:  # dense int8 path
+        h, cache1 = llama.forward(params["net"], config.net, emb,
+                                  cache=state.cache)
+        return state._replace(cache=cache1, hidden=h[:, 0],
+                              cur_len=state.cur_len + 1,
+                              all_eos=jnp.all(ended)), row
+    ps = state.k_pool.shape[1]
+    pps = state.k_pool.shape[0] // (config.net.num_layers * b)
+    index = jnp.broadcast_to(state.cur_len, (b,))
+    h, k_pool, v_pool = llama.decode_paged(
+        params["net"], config.net, emb[:, 0], state.k_pool, state.v_pool,
+        index, page_size=ps, pages_per_slot=pps)
+    return state._replace(k_pool=k_pool, v_pool=v_pool, hidden=h,
+                          cur_len=state.cur_len + 1,
+                          all_eos=jnp.all(ended)), row
 
 
 @functools.partial(jax.jit,
@@ -177,7 +203,7 @@ def decode_events(params, config: MIDIModelConfig, state: GenState, masks,
     """
     b = state.hidden.shape[0]
     t_max = config.tokenizer.max_token_seq
-    max_seq = state.cache.k.shape[2]
+    max_seq = state.capacity(config, b)
     pad_id = config.tokenizer.pad_id
     rows0 = jnp.full((b, n_events_chunk, t_max), pad_id, jnp.int32)
 
@@ -228,7 +254,6 @@ def generate(params, config: MIDIModelConfig, prompt: Optional[np.ndarray] = Non
              disable_channels: Optional[list] = None,
              chunk_size: Optional[int] = None, context_limit: int = 4096,
              kv_int8: bool = False,
-             cache_buckets: Optional[list] = (256, 512, 1024, 2048, 4096),
              event_callback=None) -> np.ndarray:
     """Host-facing generation: returns ``[B, L, T]`` int numpy rows
     (prompt + generated), mirroring reference ``MIDIModel.generate``.
@@ -236,11 +261,11 @@ def generate(params, config: MIDIModelConfig, prompt: Optional[np.ndarray] = Non
     ``event_callback(rows_chunk)`` (if given) receives each decoded chunk as
     numpy — this is the streaming hook the serving app uses.
 
-    In chunked (streaming) mode the event cache starts at the smallest
-    ``cache_buckets`` entry that covers the next chunk and grows at bucket
-    boundaries: attention traffic scales with the static cache length, so
-    early chunks run substantially faster (outputs are identical; see
-    grow_cache).
+    The event KV lives in a paged pool, so attention traffic scales with the
+    TRUE decoded length — the pool is allocated at full ``max_len`` capacity
+    upfront and no cache-growth bucketing is needed (the round-1 bucketing
+    machinery existed because the dense cache was read at its full static
+    width every step).
     """
     tokenizer = config.tokenizer
     prompt = normalize_prompt(tokenizer, prompt, batch_size)
@@ -264,16 +289,7 @@ def generate(params, config: MIDIModelConfig, prompt: Optional[np.ndarray] = Non
     remaining = max_len - p_len
     chunk = chunk_size or remaining
 
-    def bucket_for(needed: int) -> int:
-        if chunk_size is None or not cache_buckets:
-            return max_len
-        for b in sorted(cache_buckets):
-            if b >= needed:
-                return min(b, max_len)
-        return max_len
-
-    cache_size = bucket_for(p_len + chunk)
-    state = prefill(params, config, jnp.asarray(prompt), cache_size,
+    state = prefill(params, config, jnp.asarray(prompt), max_len,
                     kv_int8=kv_int8)
     key = jax.random.PRNGKey(seed)
 
@@ -281,9 +297,6 @@ def generate(params, config: MIDIModelConfig, prompt: Optional[np.ndarray] = Non
     produced = 0
     while produced < remaining:
         n = min(chunk, remaining - produced)
-        needed = p_len + produced + n
-        if needed > state.cache.k.shape[2]:
-            state = grow_cache(state, bucket_for(needed))
         key, sub = jax.random.split(key)
         state, rows, n_done = decode_events(
             params, config, state, masks, n, temp, top_p, top_k, sub,

@@ -154,9 +154,9 @@ def test_chunked_equals_single_dispatch(setup):
     b = generate(params, cfg, prompt=prompt, batch_size=2, max_len=10, greedy=True,
                  chunk_size=3)
     np.testing.assert_array_equal(a, b)
-    # chunked with tiny cache buckets (exercises mid-stream cache growth)
+    # chunked streaming must equal the single-dispatch decode
     c = generate(params, cfg, prompt=prompt, batch_size=2, max_len=10, greedy=True,
-                 chunk_size=3, cache_buckets=(4, 8, 16))
+                 chunk_size=3)
     np.testing.assert_array_equal(a, c)
 
 
