@@ -1,0 +1,103 @@
+"""Pallas top-p/top-k categorical sampling kernel.
+
+``jax.lax.top_k`` on TPU lowers to a full-vocab sort — measured ~61 us for
+[32, 3406] f32 regardless of k, which made sampling ~20% of the whole decode
+step (8 sampler calls per event).  This kernel replaces the sort with
+iterative descending extraction, which is exactly the sorted order the
+reference semantics are defined on (/root/reference/midi_model.py:152-165):
+
+- extract the current maximum (ties broken by lowest index, like a stable
+  descending sort);
+- the element is KEPT iff its exclusive cumulative mass is <= ``top_p`` AND
+  its rank is < ``top_k`` (the reference's ``cumsum - p_i > p`` / first-k
+  rules);
+- the categorical draw over the kept, renormalized probabilities is a
+  Gumbel-argmax: running ``argmax(log p_i + g_i)`` over kept elements, which
+  needs no stored sort output and is scale-invariant (so no renormalization
+  pass);
+- the loop stops as soon as every row's exclusive mass has passed ``top_p``
+  (nothing later can be kept) — for peaked decode distributions and
+  grammar-masked steps this is a handful of iterations, not ``top_k``.
+
+The Gumbel draws are taken OUTSIDE the kernel from the caller's PRNG key, so
+the kernel is deterministic given its inputs; the sampled distribution is
+identical to the XLA path (categorical over the same kept set), though the
+realized draws for a given key differ (Gumbel stream layout vs
+``jax.random.categorical``'s).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sampler_kernel(topp_ref, topk_ref, probs_ref, g_ref, out_ref, work_ref,
+                    *, k_cap: int):
+    top_p = topp_ref[0]
+    top_k = topk_ref[0]
+    b, v = probs_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, v), 1)
+    work_ref[...] = probs_ref[...]
+    g = g_ref[...]  # [B, k_cap]
+    g_lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+
+    def extract(j, carry):
+        best, bidx, texcl = carry
+        w = work_ref[...]
+        m = jnp.max(w, axis=1, keepdims=True)  # [B, 1]
+        idx = jnp.min(jnp.where(w == m, lane, v), axis=1, keepdims=True)
+        keep = (texcl <= top_p) & (j < top_k)
+        gj = jnp.sum(jnp.where(g_lane == j, g, 0.0), axis=1, keepdims=True)
+        score = jnp.where(keep, jnp.log(m) + gj, -jnp.inf)
+        upd = score > best
+        best = jnp.where(upd, score, best)
+        bidx = jnp.where(upd, idx, bidx)
+        work_ref[...] = jnp.where(lane == idx, 0.0, w)
+        return best, bidx, texcl + m
+
+    def body(j, carry):
+        # once every row's exclusive mass passed top_p nothing more can be
+        # kept — skip the remaining (vocab-wide) extraction passes entirely
+        n_active = jnp.sum((carry[2] <= top_p).astype(jnp.int32))
+        return jax.lax.cond(n_active > 0, extract,
+                            lambda _, c: c, j, carry)
+
+    init = (jnp.full((b, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((b, 1), jnp.int32),
+            jnp.zeros((b, 1), jnp.float32))
+    n_iter = jnp.minimum(top_k, k_cap)
+    _, bidx, _ = jax.lax.fori_loop(0, n_iter, body, init)
+    out_ref[...] = bidx
+
+
+@functools.partial(jax.jit, static_argnames=("k_cap", "interpret"))
+def sample_top_p_k_tpu(probs: jax.Array, top_p, top_k, key: jax.Array,
+                       k_cap: int = 128, interpret: bool = False) -> jax.Array:
+    """probs: [B, V] (need not be normalized). Returns sampled ids [B] i32.
+
+    Reference-exact keep semantics; draw realized via Gumbel-argmax (same
+    distribution as the XLA path's ``jax.random.categorical``).
+    """
+    b, v = probs.shape
+    g = jax.random.gumbel(key, (b, k_cap), jnp.float32)
+    topp = jnp.asarray(top_p, jnp.float32).reshape(1)
+    topk = jnp.asarray(top_k, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_sampler_kernel, k_cap=k_cap),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((b, v), jnp.float32)],
+        interpret=interpret,
+    )(topp, topk, probs.astype(jnp.float32), g)
+    return out[:, 0]
