@@ -38,51 +38,25 @@ class KVCache(NamedTuple):
     continuous batching where each slot has its own length (single-token
     decode only).
 
-    ``k_scale``/``v_scale`` are present only for the int8-quantized cache
-    (per-token-per-head absmax scales, ``[L, B, S, Hkv]`` f32): decode
-    attention is HBM-bound on cache reads, so int8 storage halves the
-    dominant traffic; dequantization fuses into the attention matmuls.
+    int8 KV lives in the PAGED pools instead (ops/paged_allheads.PagedPools
+    with ``quantized=True``): decode attention is HBM-bound on cache reads,
+    and the paged kernel folds dequantization into the flash math where the
+    dense XLA path could not (the round-1 dense int8 cache measured a mere
+    +5% and was deleted).
     """
 
     k: jax.Array
     v: jax.Array
     index: jax.Array  # int32 scalar or [batch] vector
-    k_scale: Optional[jax.Array] = None
-    v_scale: Optional[jax.Array] = None
 
     @staticmethod
     def zeros(cfg: TransformerConfig, batch: int, max_seq: int, dtype=jnp.float32,
-              per_row: bool = False, quantized: bool = False):
+              per_row: bool = False):
         shape = (cfg.num_layers, batch, max_seq, cfg.kv_heads, cfg.head_dim)
         index = (jnp.zeros((batch,), jnp.int32) if per_row
                  else jnp.zeros((), jnp.int32))
-        if quantized:
-            sshape = shape[:-1]
-            return KVCache(
-                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
-                index=index,
-                k_scale=jnp.zeros(sshape, jnp.float32),
-                v_scale=jnp.zeros(sshape, jnp.float32))
         return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                        index=index)
-
-    @property
-    def quantized(self) -> bool:
-        return self.k_scale is not None
-
-
-def quantize_kv(x: jax.Array):
-    """[B, S, H, D] -> (int8 values, [B, S, H] f32 scales); symmetric absmax."""
-    xf = x.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(xf), axis=-1)
-    scale = absmax / 127.0 + 1e-12
-    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
-    return q, scale
-
-
-def dequantize_kv(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
-    """Inverse of quantize_kv; fuses into the attention matmuls under XLA."""
-    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def init_transformer_params(key: jax.Array, cfg: TransformerConfig,
@@ -174,19 +148,11 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
 
     new_cache = None
     if cache_kv is not None:
-        # cache_kv = (k cache, v cache, k scales, v scales, layer index); the
-        # caller carries the [L, B, T, Hkv, Dh] buffers so only the new tokens
-        # are written in place — restacking the whole cache as loop outputs
-        # would double the HBM traffic of every decode step.  Scales are None
-        # for the full-precision cache.
-        ck_all, cv_all, ks_all, vs_all, li = cache_kv
-        quantized = ks_all is not None
-        if quantized:
-            k_q, k_s = quantize_kv(k)
-            v_q, v_s = quantize_kv(v)
-            write_k, write_v = k_q, v_q
-        else:
-            write_k, write_v = k, v
+        # cache_kv = (k cache, v cache, layer index); the caller carries the
+        # [L, B, T, Hkv, Dh] buffers so only the new tokens are written in
+        # place — restacking the whole cache as loop outputs would double the
+        # HBM traffic of every decode step.
+        ck_all, cv_all, li = cache_kv
         if getattr(cache_index, "ndim", 0) == 1:
             # per-row write offsets (continuous batching, s == 1).  TPU
             # scatters with computed indices serialize (measured ~50x slower
@@ -202,40 +168,16 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
                 return jax.lax.dynamic_update_slice(
                     all_buf, upd[None], (li, 0, 0, 0, 0))
 
-            ck_all = blend(ck_all, write_k)  # write_k [B,1,H,D] broadcasts
-            cv_all = blend(cv_all, write_v)
-            if quantized:
-                sel3 = onehot[..., None]
-
-                def blend3(all_buf, new_row):
-                    old = jax.lax.dynamic_index_in_dim(all_buf, li, 0,
-                                                       keepdims=False)
-                    upd = jnp.where(sel3, new_row, old)
-                    return jax.lax.dynamic_update_slice(
-                        all_buf, upd[None], (li, 0, 0, 0))
-
-                ks_all = blend3(ks_all, k_s)
-                vs_all = blend3(vs_all, v_s)
+            ck_all = blend(ck_all, k)  # k [B,1,H,D] broadcasts
+            cv_all = blend(cv_all, v)
         else:
             ck_all = jax.lax.dynamic_update_slice(
-                ck_all, write_k[None], (li, 0, cache_index, 0, 0))
+                ck_all, k[None], (li, 0, cache_index, 0, 0))
             cv_all = jax.lax.dynamic_update_slice(
-                cv_all, write_v[None], (li, 0, cache_index, 0, 0))
-            if quantized:
-                ks_all = jax.lax.dynamic_update_slice(
-                    ks_all, k_s[None], (li, 0, cache_index, 0))
-                vs_all = jax.lax.dynamic_update_slice(
-                    vs_all, v_s[None], (li, 0, cache_index, 0))
-        new_cache = (ck_all, cv_all, ks_all, vs_all)
+                cv_all, v[None], (li, 0, cache_index, 0, 0))
+        new_cache = (ck_all, cv_all)
         k = jax.lax.dynamic_index_in_dim(ck_all, li, axis=0, keepdims=False)
         v = jax.lax.dynamic_index_in_dim(cv_all, li, axis=0, keepdims=False)
-        if quantized:
-            k = dequantize_kv(
-                k, jax.lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
-                q.dtype)
-            v = dequantize_kv(
-                v, jax.lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
-                q.dtype)
 
     attn = _attention(q, k, v, mask_bias,
                       cached=cache_kv is not None).reshape(b, s, h * dh)
@@ -302,17 +244,14 @@ def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
         # full decode loop — the unrolled variant's per-layer weight slices
         # don't fuse and cost ~20% end-to-end.)
         def body(carry, layer_params):
-            out, ck, cv, ks, vs, li = carry
-            out, (ck, cv, ks, vs) = _layer(out, layer_params, cfg, cos, sin,
-                                           bias, (ck, cv, ks, vs, li),
-                                           cache.index)
-            return (out, ck, cv, ks, vs, li + 1), None
+            out, ck, cv, li = carry
+            out, (ck, cv) = _layer(out, layer_params, cfg, cos, sin,
+                                   bias, (ck, cv, li), cache.index)
+            return (out, ck, cv, li + 1), None
 
-        (x, nk, nv, nks, nvs, _), _ = jax.lax.scan(
-            body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                   jnp.zeros((), jnp.int32)), lp)
-        new_cache = KVCache(k=nk, v=nv, index=cache.index + s,
-                            k_scale=nks, v_scale=nvs)
+        (x, nk, nv, _), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), lp)
+        new_cache = KVCache(k=nk, v=nv, index=cache.index + s)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, new_cache
@@ -324,29 +263,30 @@ def embed_tokens(params: dict, tokens: jax.Array) -> jax.Array:
 
 
 def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
-                 k_pool: jax.Array, v_pool: jax.Array, index: jax.Array,
+                 pools, index: jax.Array,
                  active: Optional[jax.Array] = None, *, page_size: int,
                  pages_per_slot: int, pages_per_compute_block: int = 4,
-                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One-token decode step over a paged KV pool (continuous batching).
+                 ) -> Tuple[jax.Array, "object"]:
+    """One-token decode step over paged KV pools (continuous batching).
 
     x: [B, D] input embeddings; index: int32 [B] per-slot lengths BEFORE this
     token; active: bool [B] — inactive slots' attention is skipped entirely
     by the paged kernel (their lengths are forced to 0) and their compute is
-    garbage the caller must mask. Pools are
-    ``[Hkv, L*B*pages_per_slot, page_size, D]`` with the layer axis folded
-    into the page axis (see ops/paged.py) so they flow through the layer
-    ``lax.scan`` without per-layer slicing.
+    garbage the caller must mask. ``pools`` is an ops.paged_allheads
+    PagedPools in the all-heads flat layout ``[n_pages, page_size,
+    Hkv*LANE]`` with the layer axis folded into the page axis, so it flows
+    through the layer ``lax.scan`` without per-layer slicing. Quantized
+    (int8) pools halve the cache-read traffic; the fresh row is quantized
+    per-token-per-head on write and the kernel dequantizes in the flash math.
 
-    Returns (hidden [B, D], k_pool, v_pool). Writes for rows at capacity are
-    clamped to the last position (callers must retire such slots).
+    Returns (hidden [B, D], pools). Writes for rows at capacity are clamped
+    to the last position (callers must retire such slots).
 
-    Pools use the all-heads flat layout ``[n_pages, page_size, Hkv*LANE]``
-    (ops/paged_allheads.py). The fresh token is NOT written before
-    attention: the kernel attends the cached history (lengths = index) and
-    returns flash stats (m, l), and the token's self-attention term merges
-    analytically. This lets all layers' pool writes batch into ONE
-    kv_append kernel call per event.
+    The fresh token is NOT written before attention: the kernel attends the
+    cached history (lengths = index) and returns flash stats (m, l), and the
+    token's self-attention term merges analytically (exact, unquantized).
+    This lets all layers' pool writes batch into ONE kv_append kernel call
+    per event.
     """
     from ..ops import paged_allheads as pa
 
@@ -357,6 +297,7 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
     pps = pages_per_slot
     capacity = pps * page_size
     n_layers = cfg.num_layers
+    quantized = pools.quantized
 
     if active is None:
         active = jnp.ones((b,), bool)
@@ -382,7 +323,7 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
         # matches the dense path's fp32-score scaling for HF parity)
         qs = q[:, 0].astype(jnp.float32) * scale
         o, m, l = pa.paged_attention_stats(
-            qs, k_pool, v_pool, lengths, base_pages, page_size=page_size,
+            qs, pools, lengths, base_pages, page_size=page_size,
             pages_per_slot=pps, kv_heads=hkv, head_dim=dh,
             ppcb=pages_per_compute_block)
 
@@ -402,10 +343,16 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
         hm = rms_norm(xx, lp["ln_mlp"], eps)
         gated = jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])
         xx = xx + gated @ lp["w_down"]
-        return (xx, li + 1), (pa.pack_heads(k, hkv, dh),
-                              pa.pack_heads(v, hkv, dh))
+        if quantized:
+            kq, ks = pa.quantize_packed(k, hkv, dh)
+            vq, vs = pa.quantize_packed(v, hkv, dh)
+            ys = (kq, vq, pa.combine_scales(ks, vs, hkv))
+        else:
+            ys = (pa.pack_heads(k, hkv, dh), pa.pack_heads(v, hkv, dh),
+                  jnp.zeros((b, 0)))
+        return (xx, li + 1), ys
 
-    (x, _), (ks, vs) = jax.lax.scan(
+    (x, _), (ks, vs, ss) = jax.lax.scan(
         body, (x, jnp.zeros((), jnp.int32)), params["layers"])
 
     # one batched write for all layers: packed rows [L*B, Hkv*LANE],
@@ -414,9 +361,10 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
     pages = ((layer_ids[:, None] * b + slot_ids[None, :]) * pps
              + (write_pos // page_size)[None, :]).reshape(-1)
     offsets = jnp.tile(write_pos % page_size, n_layers)
-    k_pool, v_pool = pa.kv_append(
-        k_pool, v_pool, ks.reshape(n_layers * b, -1),
-        vs.reshape(n_layers * b, -1), pages, offsets)
+    pools = pa.kv_append(
+        pools, ks.reshape(n_layers * b, -1), vs.reshape(n_layers * b, -1),
+        pages, offsets,
+        new_scales=ss.reshape(n_layers * b, -1) if quantized else None)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return x, k_pool, v_pool
+    return x, pools

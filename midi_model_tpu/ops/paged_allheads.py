@@ -26,11 +26,28 @@ This kernel restructures the problem for the hardware:
 Slot pages are CONTIGUOUS (fixed per-slot ranges with the layer axis folded
 into the page axis, as in ops/paged.py), so the kernel needs only a base
 page per slot — no page-table indirection in the inner loop.
+
+**int8 pools** (``PagedPools.quantized``): decode attention is HBM-bound on
+cache reads, so int8 page storage halves the dominant traffic (and doubles
+serving cache capacity). Values are quantized per-token-per-head (symmetric
+absmax); k and v scales share ONE bf16 pool ``[n_pages, page_size, LANE]``
+(lanes [0:Hkv] = k, [Hkv:2Hkv] = v — Mosaic requires lane-aligned DMA
+slices, so the scales must occupy a full 128-lane row; one combined pool
+keeps that overhead to a single extra DMA, ~12% of the bf16 page it
+replaces). Dequantization folds into the flash math where it is FREE on the
+lane axis: scores are ``(k_int8 @ q_diag) * k_scale[t, kv(h)]`` and the v
+contribution uses ``pexp * v_scale[t, kv(h)]`` — both [ps, H]-shaped
+elementwise multiplies produced by one tiny lane-routing matmul
+``scale_page [ps, LANE] @ E [LANE, H]`` (which also implements the GQA
+head mapping), never a [ps, Hkv*LANE] dequantized materialization — only
+the int8->bf16 convert touches the wide axis, ~2 VPU passes per page vs
+the DMA it saves.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -53,11 +70,35 @@ def head_stride(head_dim: int, kv_heads: int = 1) -> int:
     return stride
 
 
+class PagedPools(NamedTuple):
+    """Event-KV paged pools: ``k, v: [n_pages, page_size, Hkv*stride]``
+    (bf16/f32, or int8 when quantized, with per-token-per-head bf16 scales
+    packed into ``scales: [n_pages, page_size, LANE]`` — lanes [0:Hkv] are
+    k scales, [Hkv:2Hkv] v scales)."""
+
+    k: jax.Array
+    v: jax.Array
+    scales: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.scales is not None
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[1]
+
+
 def alloc_pools(kv_heads: int, n_pages: int, page_size: int, head_dim: int,
-                dtype):
-    """Zeroed (k_pool, v_pool): [n_pages, page_size, kv_heads * head_dim]."""
+                dtype, quantized: bool = False) -> PagedPools:
+    """Zeroed pools; ``quantized`` selects int8 storage + a bf16 scale pool."""
     shape = (n_pages, page_size, kv_heads * head_stride(head_dim, kv_heads))
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    if quantized:
+        assert 2 * kv_heads <= LANE, "k+v scales must fit one 128-lane row"
+        return PagedPools(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            scales=jnp.zeros((n_pages, page_size, LANE), jnp.bfloat16))
+    return PagedPools(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
 def pack_heads(x, kv_heads: int, head_dim: int):
@@ -69,70 +110,108 @@ def pack_heads(x, kv_heads: int, head_dim: int):
     return x.reshape(*x.shape[:-2], kv_heads * hs)
 
 
+def quantize_packed(x, kv_heads: int, head_dim: int):
+    """[..., Hkv, D] -> (packed int8 [..., Hkv*stride], scales [..., Hkv]).
+
+    Symmetric per-token-per-head absmax; scales are cast to bf16 — the SAME
+    values the pool stores — so dequantization is bit-identical between
+    quantize-then-store and store-then-read paths.
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = (absmax / 127.0 + 1e-12).astype(jnp.bfloat16)
+    q = jnp.clip(jnp.round(xf / scale[..., None].astype(jnp.float32)),
+                 -127, 127).astype(jnp.int8)
+    return pack_heads(q, kv_heads, head_dim), scale
+
+
+def combine_scales(k_scale, v_scale, kv_heads: int):
+    """k/v scales [..., Hkv] -> one lane-aligned row [..., LANE] bf16
+    (lanes [0:Hkv] k, [Hkv:2Hkv] v, rest zero)."""
+    pad = LANE - 2 * kv_heads
+    return jnp.concatenate(
+        [k_scale.astype(jnp.bfloat16), v_scale.astype(jnp.bfloat16),
+         jnp.zeros((*k_scale.shape[:-1], pad), jnp.bfloat16)], axis=-1)
+
+
+def split_scales(scales, kv_heads: int):
+    """Inverse of combine_scales: [..., LANE] -> (k [..., Hkv], v [..., Hkv])."""
+    return scales[..., :kv_heads], scales[..., kv_heads:2 * kv_heads]
+
+
 # ---------------------------------------------------------------------------
 # kv append (one flat row per slot)
 # ---------------------------------------------------------------------------
 
 
-def _append_kernel(pages_ref, offs_ref, kpool_ref, vpool_ref, newk_ref,
-                   newv_ref, kout_ref, vout_ref):
+def _append_kernel(pages_ref, offs_ref, *refs):
     """Grid (B,): rewrite slot b's current page with its new row blended in
-    (iota-select; dynamic sublane stores need 8-alignment on TPU)."""
+    (iota-select; dynamic sublane stores need 8-alignment on TPU).
+
+    refs = n_bufs input pages, n_bufs new rows, n_bufs output pages.
+    """
     del pages_ref
     b = pl.program_id(0)
     off = offs_ref[b]
-    ps, w = kout_ref.shape
-    sel = jax.lax.broadcasted_iota(jnp.int32, (ps, w), 0) == off
-    kout_ref[...] = jnp.where(sel, jnp.broadcast_to(newk_ref[...], (ps, w)),
-                              kpool_ref[...])
-    vout_ref[...] = jnp.where(sel, jnp.broadcast_to(newv_ref[...], (ps, w)),
-                              vpool_ref[...])
+    n = len(refs) // 3
+    pools, news, outs = refs[:n], refs[n:2 * n], refs[2 * n:]
+    for pool_ref, new_ref, out_ref in zip(pools, news, outs):
+        ps, w = out_ref.shape
+        sel = jax.lax.broadcasted_iota(jnp.int32, (ps, w), 0) == off
+        out_ref[...] = jnp.where(
+            sel, jnp.broadcast_to(new_ref[...], (ps, w)), pool_ref[...])
 
 
-def _kv_append_tpu(k_pool, v_pool, new_k, new_v, pages, offsets,
-                   interpret: bool = False):
-    n_pages, ps, w = k_pool.shape
-    b = new_k.shape[0]
-    # rows get a unit sublane dim: a squeezed second-minor block dim is not
-    # lowerable, and the [1, w] value broadcasts cleanly to the page
-    new_k = new_k[:, None, :]
-    new_v = new_v[:, None, :]
-    pool_spec = pl.BlockSpec((None, ps, w), lambda b, pages, offs: (pages[b], 0, 0))
-    new_spec = pl.BlockSpec((None, 1, w), lambda b, pages, offs: (b, 0, 0))
+def _kv_append_tpu(bufs, news, pages, offsets, interpret: bool = False):
+    b = news[0].shape[0]
+    n = len(bufs)
+    news = [x[:, None, :] for x in news]  # rows get a unit sublane dim
+    pool_specs = [
+        pl.BlockSpec((None,) + buf.shape[1:],
+                     lambda b, pages, offs: (pages[b], 0, 0))
+        for buf in bufs
+    ]
+    new_specs = [
+        pl.BlockSpec((None, 1, x.shape[-1]), lambda b, pages, offs: (b, 0, 0))
+        for x in news
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
-        in_specs=[pool_spec, pool_spec, new_spec, new_spec],
-        out_specs=[pool_spec, pool_spec],
+        in_specs=pool_specs + new_specs,
+        out_specs=pool_specs,
     )
     return pl.pallas_call(
         _append_kernel,
-        out_shape=[jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
-                   jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype)],
+        out_shape=[jax.ShapeDtypeStruct(buf.shape, buf.dtype) for buf in bufs],
         grid_spec=grid_spec,
-        input_output_aliases={2: 0, 3: 1},  # indices count prefetch scalars
+        # indices count the 2 prefetch scalars
+        input_output_aliases={2 + i: i for i in range(n)},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(pages, offsets, k_pool, v_pool, new_k, new_v)
+    )(pages, offsets, *bufs, *news)
 
 
-def _kv_append_xla(k_pool, v_pool, new_k, new_v, pages, offsets):
-    k_pool = k_pool.at[pages, offsets, :].set(new_k.astype(k_pool.dtype))
-    v_pool = v_pool.at[pages, offsets, :].set(new_v.astype(v_pool.dtype))
-    return k_pool, v_pool
-
-
-def kv_append(k_pool, v_pool, new_k, new_v, pages, offsets):
-    """Write each slot's packed new row. new_k/new_v: [B, Hkv*LANE];
-    pages/offsets: int32 [B] (absolute page id, row within page)."""
+def kv_append(pools: PagedPools, new_k, new_v, pages, offsets,
+              new_scales=None) -> PagedPools:
+    """Write each slot's packed new row. new_k/new_v: [B, Hkv*stride] in the
+    pool dtype (int8 when quantized, with new_scales [B, LANE] combined
+    scale rows); pages/offsets: int32 [B] (absolute page id, row in page)."""
+    pages = pages.astype(jnp.int32)
+    offsets = offsets.astype(jnp.int32)
+    bufs = [pools.k, pools.v]
+    news = [new_k.astype(pools.k.dtype), new_v.astype(pools.v.dtype)]
+    if pools.quantized:
+        bufs.append(pools.scales)
+        news.append(new_scales.astype(jnp.bfloat16))
     if jax.default_backend() == "tpu":
-        return _kv_append_tpu(k_pool, v_pool,
-                              new_k.astype(k_pool.dtype),
-                              new_v.astype(v_pool.dtype),
-                              pages.astype(jnp.int32),
-                              offsets.astype(jnp.int32))
-    return _kv_append_xla(k_pool, v_pool, new_k, new_v, pages, offsets)
+        out = _kv_append_tpu(bufs, news, pages, offsets)
+    else:
+        out = [buf.at[pages, offsets, :].set(x) for buf, x in zip(bufs, news)]
+    if pools.quantized:
+        return PagedPools(k=out[0], v=out[1], scales=out[2])
+    return PagedPools(k=out[0], v=out[1])
 
 
 # ---------------------------------------------------------------------------
@@ -140,19 +219,28 @@ def kv_append(k_pool, v_pool, new_k, new_v, pages, offsets):
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel(lengths_ref, base_pages_ref, qd_ref, kpool_hbm, vpool_hbm,
-                   o_ref, m_ref, l_ref, kbuf, vbuf, sems, *,
+def _decode_kernel(lengths_ref, base_pages_ref, qd_ref, *refs,
                    page_size: int, ppcb: int, pages_per_slot: int,
-                   num_heads: int, kv_heads: int):
+                   num_heads: int, kv_heads: int, quantized: bool):
     """Grid (B,): flash attention over slot b's contiguous pages, all heads.
 
     qd_ref: [W, H] block-diagonal Q (pre-scaled, f32->bf16 by caller),
     W = Hkv * head_stride. kbuf/vbuf: VMEM [2, ppcb, page_size, W] double
-    buffers. o_ref: [H, W] NORMALIZED accumulator — each head's context is
-    its diagonal head-block, extracted by the caller in XLA (an unaligned
+    buffers (+ [2, ppcb, page_size, LANE] bf16 combined-scale buffers when
+    quantized). o_ref: [H, W] NORMALIZED accumulator — each head's context
+    is its diagonal head-block, extracted by the caller in XLA (an unaligned
     in-kernel lane slice would force padding, doubling HBM traffic);
     m_ref/l_ref: [H, 1] f32 flash stats.
     """
+    if quantized:
+        (kpool_hbm, vpool_hbm, spool_hbm, o_ref, m_ref, l_ref,
+         kbuf, vbuf, sbuf, sems) = refs
+        hbm = (kpool_hbm, vpool_hbm, spool_hbm)
+        bufs = (kbuf, vbuf, sbuf)
+    else:
+        kpool_hbm, vpool_hbm, o_ref, m_ref, l_ref, kbuf, vbuf, sems = refs
+        hbm = (kpool_hbm, vpool_hbm)
+        bufs = (kbuf, vbuf)
     b = pl.program_id(0)
     length = lengths_ref[b]
     base = base_pages_ref[b]
@@ -167,18 +255,22 @@ def _decode_kernel(lengths_ref, base_pages_ref, qd_ref, kpool_hbm, vpool_hbm,
 
     def copy_block(i, slot):
         start = base + i * ppcb
-        k_copy = pltpu.make_async_copy(
-            kpool_hbm.at[pl.ds(start, ppcb)], kbuf.at[slot], sems.at[slot, 0])
-        v_copy = pltpu.make_async_copy(
-            vpool_hbm.at[pl.ds(start, ppcb)], vbuf.at[slot], sems.at[slot, 1])
-        k_copy.start()
-        v_copy.start()
+        for j, (src, dst) in enumerate(zip(hbm, bufs)):
+            pltpu.make_async_copy(src.at[pl.ds(start, ppcb)], dst.at[slot],
+                                  sems.at[slot, j]).start()
 
     def wait_block(slot):
-        pltpu.make_async_copy(kpool_hbm.at[pl.ds(0, ppcb)], kbuf.at[slot],
-                              sems.at[slot, 0]).wait()
-        pltpu.make_async_copy(vpool_hbm.at[pl.ds(0, ppcb)], vbuf.at[slot],
-                              sems.at[slot, 1]).wait()
+        for j, (src, dst) in enumerate(zip(hbm, bufs)):
+            pltpu.make_async_copy(src.at[pl.ds(0, ppcb)], dst.at[slot],
+                                  sems.at[slot, j]).wait()
+
+    def scale_router(offset):
+        # [LANE, H] 0/1 matrix: scale_page @ E -> [ps, H] per-query-head
+        # scales; lane ``offset + kv(h)`` routes to column h (one MXU matmul
+        # does both the lane extraction and the GQA head mapping)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (LANE, num_heads), 0)
+        head_i = jax.lax.broadcasted_iota(jnp.int32, (LANE, num_heads), 1)
+        return (lane_i == offset + head_i // groups).astype(jnp.bfloat16)
 
     @pl.when(n_blocks > 0)
     def _():
@@ -198,9 +290,15 @@ def _decode_kernel(lengths_ref, base_pages_ref, qd_ref, kpool_hbm, vpool_hbm,
             block_scores = []
             for p in range(ppcb):
                 k_page = kbuf[slot, p]  # [ps, W]
+                if quantized:
+                    k_page = k_page.astype(jnp.bfloat16)  # int8 exact
                 s = jax.lax.dot(
                     k_page, qd,
                     preferred_element_type=jnp.float32)  # [ps, H]
+                if quantized:
+                    ks = jax.lax.dot(sbuf[slot, p], scale_router(0),
+                                     preferred_element_type=jnp.float32)
+                    s = s * ks
                 row = (i * ppcb + p) * page_size + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, 0)
                 s = jnp.where(row < length, s, -jnp.inf)
@@ -215,9 +313,18 @@ def _decode_kernel(lengths_ref, base_pages_ref, qd_ref, kpool_hbm, vpool_hbm,
                 pexp = jnp.exp(block_scores[p] - m_new.T)  # [ps, H]
                 l = l + jnp.sum(pexp, axis=0)[:, None]
                 v_page = vbuf[slot, p]  # [ps, W]
+                if quantized:
+                    # fold the v scale into the attention weights: only each
+                    # head's own kv-head block of the [H, W] accumulator is
+                    # ever read, so pexp * v_scale[t, kv(h)] dequantizes it
+                    vs = jax.lax.dot(sbuf[slot, p], scale_router(kv_heads),
+                                     preferred_element_type=jnp.float32)
+                    pexp = pexp * vs
+                    v_page = v_page.astype(jnp.bfloat16)
                 acc = acc + jax.lax.dot(
-                    pexp.T.astype(v_page.dtype), v_page,
-                    preferred_element_type=jnp.float32)  # [H, W]
+                    pexp.astype(v_page.dtype), v_page,
+                    preferred_element_type=jnp.float32,
+                    dimension_numbers=(((0,), (0,)), ((), ())))  # [H, W]
             return acc, m_new, l
 
         acc0 = jnp.zeros((num_heads, w), jnp.float32)
@@ -229,34 +336,38 @@ def _decode_kernel(lengths_ref, base_pages_ref, qd_ref, kpool_hbm, vpool_hbm,
         l_ref[...] = l
 
 
-def _decode_tpu(q_diag, k_pool, v_pool, lengths, base_pages, *,
+def _decode_tpu(q_diag, pools: PagedPools, lengths, base_pages, *,
                 page_size: int, ppcb: int, pages_per_slot: int,
                 num_heads: int, kv_heads: int, interpret: bool = False):
     b = lengths.shape[0]
-    w = k_pool.shape[-1]
+    w = pools.k.shape[-1]
+    quantized = pools.quantized
+    hbm_in = [pl.BlockSpec(memory_space=pl.ANY)] * (3 if quantized else 2)
+    scratch = [
+        pltpu.VMEM((2, ppcb, page_size, w), pools.k.dtype),
+        pltpu.VMEM((2, ppcb, page_size, w), pools.v.dtype),
+    ]
+    if quantized:
+        scratch.append(pltpu.VMEM((2, ppcb, page_size, LANE), jnp.bfloat16))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 3 if quantized else 2)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # lengths, base_pages
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((None, w, num_heads), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=[pl.BlockSpec((None, w, num_heads), lambda b, *_: (b, 0, 0))]
+        + hbm_in,
         out_specs=[
             pl.BlockSpec((None, num_heads, w), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((None, num_heads, 1), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((None, num_heads, 1), lambda b, *_: (b, 0, 0)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, ppcb, page_size, w), k_pool.dtype),
-            pltpu.VMEM((2, ppcb, page_size, w), v_pool.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _decode_kernel, page_size=page_size, ppcb=ppcb,
         pages_per_slot=pages_per_slot, num_heads=num_heads,
-        kv_heads=kv_heads)
+        kv_heads=kv_heads, quantized=quantized)
+    inputs = (pools.k, pools.v, pools.scales) if quantized \
+        else (pools.k, pools.v)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -268,23 +379,27 @@ def _decode_tpu(q_diag, k_pool, v_pool, lengths, base_pages, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(lengths, base_pages, q_diag, k_pool, v_pool)
+    )(lengths, base_pages, q_diag, *inputs)
 
 
-def _decode_xla(q, k_pool, v_pool, lengths, base_pages, *, page_size: int,
+def _decode_xla(q, pools: PagedPools, lengths, base_pages, *, page_size: int,
                 pages_per_slot: int, kv_heads: int, head_dim: int):
     """Dense reference (CPU tests): gather each slot's pages, masked flash."""
     b, h, d = q.shape
     hs = head_stride(head_dim, kv_heads)
     cap = pages_per_slot * page_size
     page_ids = base_pages[:, None] + jnp.arange(pages_per_slot)[None, :]
-    k = k_pool[page_ids]  # [B, pps, ps, Hkv*hs]
-    v = v_pool[page_ids]
+    k = pools.k[page_ids].astype(jnp.float32)  # [B, pps, ps, Hkv*hs]
+    v = pools.v[page_ids].astype(jnp.float32)
     k = k.reshape(b, cap, kv_heads, hs)[..., :d]
     v = v.reshape(b, cap, kv_heads, hs)[..., :d]
+    if pools.quantized:
+        ks, vs = split_scales(pools.scales[page_ids], kv_heads)
+        k = k * ks.reshape(b, cap, kv_heads).astype(jnp.float32)[..., None]
+        v = v * vs.reshape(b, cap, kv_heads).astype(jnp.float32)[..., None]
     groups = h // kv_heads
-    k = jnp.repeat(k, groups, axis=2).astype(jnp.float32)
-    v = jnp.repeat(v, groups, axis=2).astype(jnp.float32)
+    k = jnp.repeat(k, groups, axis=2)
+    v = jnp.repeat(v, groups, axis=2)
     scores = jnp.einsum("bhd,bthd->bht", q.astype(jnp.float32), k)
     valid = jnp.arange(cap)[None, None, :] < lengths[:, None, None]
     scores = jnp.where(valid, scores, -jnp.inf)
@@ -315,13 +430,13 @@ def build_q_diag(q, kv_heads: int, head_dim: int):
     return qd.reshape(b, kv_heads * hs, h).astype(jnp.bfloat16)
 
 
-def paged_attention_stats(q, k_pool, v_pool, lengths, base_pages, *,
+def paged_attention_stats(q, pools: PagedPools, lengths, base_pages, *,
                           page_size: int, pages_per_slot: int, kv_heads: int,
                           head_dim: int, ppcb: int = 4,
                           interpret: bool = False):
     """All-heads paged flash decode. q: [B, H, D] PRE-SCALED; pools:
-    [n_pages, page_size, Hkv*LANE]; lengths/base_pages: int32 [B].
-    Returns (o [B, H, D], m [B, H], l [B, H])."""
+    [n_pages, page_size, Hkv*LANE] (+ scale pools when int8);
+    lengths/base_pages: int32 [B]. Returns (o [B, H, D], m [B, H], l [B, H])."""
     b, h, d = q.shape
     lengths = lengths.astype(jnp.int32)
     base_pages = base_pages.astype(jnp.int32)
@@ -329,7 +444,7 @@ def paged_attention_stats(q, k_pool, v_pool, lengths, base_pages, *,
         ppcb = int(np.gcd(ppcb, pages_per_slot))
         qd = build_q_diag(q, kv_heads, d)
         acc, m, l = _decode_tpu(
-            qd, k_pool, v_pool, lengths, base_pages, page_size=page_size,
+            qd, pools, lengths, base_pages, page_size=page_size,
             ppcb=ppcb, pages_per_slot=pages_per_slot, num_heads=h,
             kv_heads=kv_heads, interpret=interpret)
         # each head's context is its kv head's diagonal block of the
@@ -342,7 +457,6 @@ def paged_attention_stats(q, k_pool, v_pool, lengths, base_pages, *,
         o = jnp.einsum("bhgd,hg->bhd",
                        acc.reshape(b, h, kv_heads, hs), mapping)
         return o[..., :d], m[..., 0], l[..., 0]
-    o, m, l = _decode_xla(q, k_pool, v_pool, lengths, base_pages,
-                          page_size=page_size, pages_per_slot=pages_per_slot,
-                          kv_heads=kv_heads, head_dim=d)
-    return o, m, l
+    return _decode_xla(q, pools, lengths, base_pages,
+                       page_size=page_size, pages_per_slot=pages_per_slot,
+                       kv_heads=kv_heads, head_dim=d)

@@ -43,26 +43,21 @@ from .topk_topp import sample_greedy, sample_top_p_k
 class GenState(NamedTuple):
     """Carried decode state between chunks (all statically shaped).
 
-    Default path: the event-net KV lives in an all-heads PAGED POOL
-    (ops/paged_allheads.py) — attention traffic scales with the TRUE current
-    length, not the preallocated capacity, so no cache-growth bucketing is
-    needed and the Pallas kernel streams cache reads at ~85% of HBM peak
-    (~2x the dense XLA path). ``cache`` is populated instead of the pools
-    only for the opt-in int8 dense cache (``kv_int8``), which the paged
-    kernel does not quantize yet.
+    The event-net KV lives in all-heads PAGED POOLS (ops/paged_allheads.py) —
+    attention traffic scales with the TRUE current length, not the
+    preallocated capacity, so no cache-growth bucketing is needed and the
+    Pallas kernel streams cache reads at ~85% of HBM peak (~2x the dense XLA
+    path). With ``kv_int8`` the pools store int8 pages + per-token-per-head
+    scales: cache-read traffic (the decode bottleneck) halves again.
     """
 
-    k_pool: Optional[jax.Array]  # [L*B*pps, page_size, Hkv*stride] or None
-    v_pool: Optional[jax.Array]
-    cache: Optional[KVCache]  # dense (int8) event cache — kv_int8 path only
+    pools: "object"  # ops.paged_allheads.PagedPools (layer axis folded)
     hidden: jax.Array  # [B, D] hidden of the last consumed event row
     cur_len: jax.Array  # int32: rows consumed so far (prompt + generated)
     all_eos: jax.Array  # bool: every row emitted eos in the same event step
 
     def capacity(self, config: MIDIModelConfig, batch: int) -> int:
-        if self.cache is not None:
-            return self.cache.k.shape[2]
-        n_pages, ps, _ = self.k_pool.shape
+        n_pages, ps, _ = self.pools.k.shape
         return (n_pages // (config.net.num_layers * batch)) * ps
 
 
@@ -78,43 +73,51 @@ def _mask_arrays(table: MaskTable):
 def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
             kv_int8: bool = False) -> GenState:
     """Run the event net over the prompt rows, then pack the prompt KV into
-    the paged pool (capacity ``max_seq`` rounded up to whole pages).
+    the paged pools (capacity ``max_seq`` rounded up to whole pages).
 
-    ``kv_int8`` keeps the dense quantized cache instead (storage halves, but
-    reads cover the full static length)."""
-    from ..ops.paged_allheads import alloc_pools, pack_heads
+    ``kv_int8`` quantizes the pools (int8 pages + per-token-per-head f32
+    scales): half the cache-read traffic and capacity footprint."""
+    from ..ops.paged_allheads import (alloc_pools, combine_scales, pack_heads,
+                                      quantize_packed)
 
     b, p_len, _ = prompt.shape
     dtype = params["lm_head"].dtype
     net = config.net
-    if kv_int8:
-        cache = KVCache.zeros(net, b, max_seq, dtype=dtype, quantized=True)
-        hidden, cache = midinet.forward(params, config, prompt, cache=cache)
-        return GenState(
-            k_pool=None, v_pool=None, cache=cache, hidden=hidden[:, -1],
-            cur_len=jnp.asarray(p_len, jnp.int32),
-            all_eos=jnp.asarray(False))
 
     ps = PAGE_SIZE
     pps = -(-max_seq // ps)  # capacity in pages per (layer, row)
+    # round up to whole compute blocks: a pages_per_slot not divisible by
+    # the kernel's 4-page block forces ppcb=1 (one-page DMAs) — measured
+    # 1.5-1.7x slower at cache 512-1024 than 4-page blocks
+    pps = -(-pps // 4) * 4
     n_pre = -(-p_len // ps)
     scratch = KVCache.zeros(net, b, n_pre * ps, dtype=dtype)
     hidden, scratch = midinet.forward(params, config, prompt, cache=scratch)
 
     l_n, hkv, dh = net.num_layers, net.kv_heads, net.head_dim
-    k_pool, v_pool = alloc_pools(hkv, l_n * b * pps, ps, dh, dtype)
-    w = k_pool.shape[-1]
+    pools = alloc_pools(hkv, l_n * b * pps, ps, dh, dtype,
+                        quantized=kv_int8)
 
-    def pack(pool, dense):  # dense: [L, B, n_pre*ps, Hkv, Dh]
-        packed = pack_heads(dense, hkv, dh).reshape(l_n * b, n_pre, ps, w)
+    def pack(pool, packed):  # packed: [L, B, n_pre*ps, w]
+        w = pool.shape[-1]
+        packed = packed.reshape(l_n * b, n_pre, ps, w)
         pool = pool.reshape(l_n * b, pps, ps, w)
         pool = jax.lax.dynamic_update_slice(pool, packed.astype(pool.dtype),
                                             (0, 0, 0, 0))
         return pool.reshape(-1, ps, w)
 
+    if kv_int8:
+        kq, kscale = quantize_packed(scratch.k, hkv, dh)
+        vq, vscale = quantize_packed(scratch.v, hkv, dh)
+        pools = pools._replace(
+            k=pack(pools.k, kq), v=pack(pools.v, vq),
+            scales=pack(pools.scales, combine_scales(kscale, vscale, hkv)))
+    else:
+        pools = pools._replace(k=pack(pools.k, pack_heads(scratch.k, hkv, dh)),
+                               v=pack(pools.v, pack_heads(scratch.v, hkv, dh)))
+
     return GenState(
-        k_pool=pack(k_pool, scratch.k), v_pool=pack(v_pool, scratch.v),
-        cache=None, hidden=hidden[:, -1],
+        pools=pools, hidden=hidden[:, -1],
         cur_len=jnp.asarray(p_len, jnp.int32),
         all_eos=jnp.asarray(False))
 
@@ -168,19 +171,13 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
 
     # Feed the sampled row through the event net (conditions the next event).
     emb = midinet.embed_events(params, row[:, None, :])
-    if state.cache is not None:  # dense int8 path
-        h, cache1 = llama.forward(params["net"], config.net, emb,
-                                  cache=state.cache)
-        return state._replace(cache=cache1, hidden=h[:, 0],
-                              cur_len=state.cur_len + 1,
-                              all_eos=jnp.all(ended)), row
-    ps = state.k_pool.shape[1]
-    pps = state.k_pool.shape[0] // (config.net.num_layers * b)
+    ps = state.pools.page_size
+    pps = state.pools.k.shape[0] // (config.net.num_layers * b)
     index = jnp.broadcast_to(state.cur_len, (b,))
-    h, k_pool, v_pool = llama.decode_paged(
-        params["net"], config.net, emb[:, 0], state.k_pool, state.v_pool,
+    h, pools = llama.decode_paged(
+        params["net"], config.net, emb[:, 0], state.pools,
         index, page_size=ps, pages_per_slot=pps)
-    return state._replace(k_pool=k_pool, v_pool=v_pool, hidden=h,
+    return state._replace(pools=pools, hidden=h,
                           cur_len=state.cur_len + 1,
                           all_eos=jnp.all(ended)), row
 

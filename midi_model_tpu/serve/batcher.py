@@ -94,42 +94,52 @@ def _prefill_request(params, config: MIDIModelConfig, prompt: jax.Array,
     return cache.k, cache.v, h_last
 
 
-@functools.partial(jax.jit, donate_argnums=(2, 3),
+@functools.partial(jax.jit, donate_argnums=(2,),
                    static_argnames=("page_size", "pages_per_slot", "n_slots"))
-def _splice_slot(slot, p_len, k_pool, v_pool, hidden_all, index_all,
+def _splice_slot(slot, p_len, pools, hidden_all, index_all,
                  pre_k, pre_v, h_last, *, page_size: int, pages_per_slot: int,
                  n_slots: int):
     """Install a prefilled request into slot ``slot``'s page range.
 
     pre_k/pre_v: dense prefill cache [L, 1, bucket, Hkv, D] (bucket a multiple
     of page_size); packed to the all-heads flat page layout
-    [L, bucket/ps, ps, Hkv*LANE] and written with one dynamic-update-slice
-    per layer at the slot's (layer-folded) page base.
+    [L, bucket/ps, ps, Hkv*LANE] (quantized to int8 pages + scales when the
+    pools are) and written with one dynamic-update-slice per layer at the
+    slot's (layer-folded) page base.
     """
-    from ..ops.paged_allheads import pack_heads
+    from ..ops.paged_allheads import combine_scales, pack_heads, quantize_packed
 
     l_n, _, bucket, hkv, d = pre_k.shape
     n_pages = bucket // page_size
-    pre_k = pack_heads(pre_k[:, 0], hkv, d).reshape(
-        l_n, n_pages, page_size, -1)
-    pre_v = pack_heads(pre_v[:, 0], hkv, d).reshape(
-        l_n, n_pages, page_size, -1)
+
+    def paged(x):  # [L, bucket, w] -> [L, n_pages, ps, w]
+        return x.reshape(l_n, n_pages, page_size, x.shape[-1])
+
+    if pools.quantized:
+        kq, ks = quantize_packed(pre_k[:, 0], hkv, d)
+        vq, vs = quantize_packed(pre_v[:, 0], hkv, d)
+        planes = dict(k=paged(kq), v=paged(vq),
+                      scales=paged(combine_scales(ks, vs, hkv)))
+    else:
+        planes = dict(k=paged(pack_heads(pre_k[:, 0], hkv, d)),
+                      v=paged(pack_heads(pre_v[:, 0], hkv, d)))
 
     def body(carry, pre):
-        kp, vp, li = carry
-        pk, pv = pre
+        pools, li = carry
         base = (li * n_slots + slot) * pages_per_slot
-        kp = jax.lax.dynamic_update_slice(kp, pk.astype(kp.dtype),
-                                          (base, 0, 0))
-        vp = jax.lax.dynamic_update_slice(vp, pv.astype(vp.dtype),
-                                          (base, 0, 0))
-        return (kp, vp, li + 1), None
+        updated = {
+            name: jax.lax.dynamic_update_slice(
+                getattr(pools, name), pre[name].astype(getattr(pools, name).dtype),
+                (base, 0, 0))
+            for name in planes
+        }
+        return (pools._replace(**updated), li + 1), None
 
-    (k_pool, v_pool, _), _ = jax.lax.scan(
-        body, (k_pool, v_pool, jnp.zeros((), jnp.int32)), (pre_k, pre_v))
+    (pools, _), _ = jax.lax.scan(
+        body, (pools, jnp.zeros((), jnp.int32)), planes)
     hidden_all = hidden_all.at[slot].set(h_last)
     index_all = index_all.at[slot].set(p_len)
-    return k_pool, v_pool, hidden_all, index_all
+    return pools, hidden_all, index_all
 
 
 @functools.partial(jax.jit, donate_argnums=(2,),
@@ -140,7 +150,7 @@ def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
           pages_per_slot: int):
     """Decode ``chunk`` events for all slots (one dispatch).
 
-    carry = (k_pool, v_pool, index [B], hidden [B, D]).
+    carry = (pools, index [B], hidden [B, D]).
     Returns (carry, rows [B, chunk, T]).
 
     A device-side ``alive`` mask retires a slot mid-chunk the moment it emits
@@ -156,12 +166,12 @@ def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
     eos_id = config.tokenizer.eos_id
     first_event_id = eos_id + 1
     n_events = len(config.tokenizer.events)
-    k_pool, v_pool, index, hidden = carry
+    pools, index, hidden = carry
     b = hidden.shape[0]
     capacity = page_size * pages_per_slot
 
     def one_event(carry, ev_key):
-        k_pool, v_pool, index, hidden, alive = carry
+        pools, index, hidden, alive = carry
         cache2 = KVCache.zeros(tok_cfg, b, t_max, dtype=dtype)
 
         def token_step(tc, xs):
@@ -198,8 +208,8 @@ def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
         row = toks.T  # [B, T]
 
         emb = midinet.embed_events(params, row[:, None, :])[:, 0]
-        h, k_pool, v_pool = llama.decode_paged(
-            params["net"], config.net, emb.astype(dtype), k_pool, v_pool,
+        h, pools = llama.decode_paged(
+            params["net"], config.net, emb.astype(dtype), pools,
             index, alive, page_size=page_size, pages_per_slot=pages_per_slot)
         # only live slots advance / take the new hidden
         new_index = jnp.where(alive, jnp.minimum(index + 1, capacity), index)
@@ -207,12 +217,12 @@ def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
         # mid-chunk retirement: the eos row itself still went through the
         # event net (aligned-loop parity) but nothing after it does
         alive = alive & (row[:, 0] != eos_id) & (new_index < capacity)
-        return (k_pool, v_pool, new_index, hidden_new, alive), row
+        return (pools, new_index, hidden_new, alive), row
 
     keys = jax.random.split(key, chunk)
-    (k_pool, v_pool, index, hidden, _), rows = jax.lax.scan(
-        one_event, (k_pool, v_pool, index, hidden, active), keys)
-    return (k_pool, v_pool, index, hidden), jnp.transpose(rows, (1, 0, 2))
+    (pools, index, hidden, _), rows = jax.lax.scan(
+        one_event, (pools, index, hidden, active), keys)
+    return (pools, index, hidden), jnp.transpose(rows, (1, 0, 2))
 
 
 class ContinuousBatcher:
@@ -220,15 +230,18 @@ class ContinuousBatcher:
                  max_seq: int = 4096, chunk: int = 16, temp: float = 1.0,
                  top_p: float = 0.98, top_k: int = 20, seed: int = 0,
                  disable_eos: bool = False, greedy: bool = False,
-                 page_size: int = 64):
+                 page_size: int = 64, kv_int8: bool = False):
         self.greedy = greedy
         self.params = params
         self.config = config
         self.tokenizer = config.tokenizer
         self.n_slots = n_slots
         self.page_size = page_size
-        if max_seq % page_size:
-            max_seq = ((max_seq + page_size - 1) // page_size) * page_size
+        # whole 4-page kernel compute blocks (a non-multiple forces one-page
+        # DMAs in the paged kernel — measured 1.5-1.7x slower)
+        block = 4 * page_size
+        if max_seq % block:
+            max_seq = ((max_seq + block - 1) // block) * block
         self.max_seq = max_seq
         self.pages_per_slot = max_seq // page_size
         self.chunk = chunk
@@ -240,8 +253,9 @@ class ContinuousBatcher:
         from ..ops.paged_allheads import alloc_pools
 
         n_pages = net.num_layers * n_slots * self.pages_per_slot
-        self._k_pool, self._v_pool = alloc_pools(
-            net.kv_heads, n_pages, page_size, net.head_dim, dtype)
+        self._pools = alloc_pools(
+            net.kv_heads, n_pages, page_size, net.head_dim, dtype,
+            quantized=kv_int8)
         self._index = jnp.zeros((n_slots,), jnp.int32)
         self._hidden = jnp.zeros((n_slots, config.n_embd), dtype)
         self._active = np.zeros((n_slots,), bool)
@@ -282,9 +296,9 @@ class ContinuousBatcher:
         pre_k, pre_v, h_last = _prefill_request(
             self.params, self.config, jnp.asarray(padded),
             jnp.asarray(p_len, jnp.int32), bucket)
-        (self._k_pool, self._v_pool, self._hidden, self._index) = _splice_slot(
+        (self._pools, self._hidden, self._index) = _splice_slot(
             jnp.asarray(slot, jnp.int32), jnp.asarray(p_len, jnp.int32),
-            self._k_pool, self._v_pool, self._hidden, self._index,
+            self._pools, self._hidden, self._index,
             pre_k, pre_v, h_last, page_size=ps,
             pages_per_slot=self.pages_per_slot, n_slots=self.n_slots)
         s = self.slots[slot]
@@ -308,13 +322,13 @@ class ContinuousBatcher:
             if not self._active.any():
                 return []
         self._key, sub = jax.random.split(self._key)
-        carry = (self._k_pool, self._v_pool, self._index, self._hidden)
+        carry = (self._pools, self._index, self._hidden)
         carry, rows = _step(self.params, self.config, carry, self.masks,
                             jnp.asarray(self._active), self.temp, self.top_p,
                             self.top_k, sub, self.chunk, self.greedy,
                             page_size=self.page_size,
                             pages_per_slot=self.pages_per_slot)
-        (self._k_pool, self._v_pool, self._index, self._hidden) = carry
+        (self._pools, self._index, self._hidden) = carry
         rows = np.asarray(rows)  # [B, chunk, T]
         # one host fetch for all slots: indexing the device array per slot
         # costs a full tunnel round-trip each time (~30 ms × B × chunk!)

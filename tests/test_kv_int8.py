@@ -1,4 +1,10 @@
-"""int8-quantized KV cache: numerics close to fp, pipeline runs end to end."""
+"""int8-quantized paged KV pools: quantization numerics + end-to-end decode.
+
+(The round-1 dense int8 cache was deleted: XLA could not fuse the dequant so
+it measured a mere +5%. int8 KV now lives in the paged pools, where the
+Pallas kernel folds dequantization into the flash math — see
+ops/paged_allheads.py; kernel-level parity is covered in test_paged.py.)
+"""
 
 import numpy as np
 import pytest
@@ -7,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from midi_model_tpu.models import MIDIModelConfig, midinet
-from midi_model_tpu.models.llama import KVCache, dequantize_kv, quantize_kv
+from midi_model_tpu.ops.paged_allheads import head_stride, quantize_packed
 
 
 @pytest.fixture(scope="module")
@@ -20,35 +26,32 @@ def setup():
 
 def test_quantize_roundtrip():
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((2, 5, 4, 64)) * 3, jnp.float32)
-    q, s = quantize_kv(x)
-    assert q.dtype == jnp.int8 and s.shape == (2, 5, 4)
-    back = dequantize_kv(q, s, jnp.float32)
-    err = np.abs(np.asarray(back - x))
-    scale = np.asarray(s)[..., None]
-    assert (err <= scale * 0.51 + 1e-6).all()  # within half a quant step
+    hkv, d = 4, 64
+    x = jnp.asarray(rng.standard_normal((2, 5, hkv, d)) * 3, jnp.float32)
+    q, s = quantize_packed(x, hkv, d)
+    assert q.dtype == jnp.int8 and s.shape == (2, 5, hkv)
+    assert q.shape == (2, 5, hkv * head_stride(d, hkv))
+    back = (np.asarray(q, np.float32).reshape(2, 5, hkv, -1)[..., :d]
+            * np.asarray(s)[..., None])
+    err = np.abs(back - np.asarray(x))
+    assert (err <= np.asarray(s)[..., None] * 0.51 + 1e-6).all()
 
 
-def test_int8_decode_close_to_fp(setup):
+def test_generate_int8_close_to_exact(setup):
+    """Greedy decode with int8 pools tracks the exact pools for a while and
+    always stays grammatical (quantization noise may eventually diverge the
+    argmax, but the first events of a short decode should agree)."""
+    from midi_model_tpu.sampling import generate
+
     cfg, params = setup
-    rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.integers(0, cfg.tokenizer.vocab_size, (2, 10, 8)))
-
-    fp_cache = KVCache.zeros(cfg.net, 2, 16)
-    h_fp, fp_cache = midinet.forward(params, cfg, x, cache=fp_cache)
-
-    q_cache = KVCache.zeros(cfg.net, 2, 16, quantized=True)
-    h_q, q_cache = midinet.forward(params, cfg, x, cache=q_cache)
-    assert q_cache.k.dtype == jnp.int8
-    assert int(q_cache.index) == 10
-
-    # hidden states agree to quantization noise
-    rel = float(jnp.abs(h_q - h_fp).max() / (jnp.abs(h_fp).max() + 1e-9))
-    assert rel < 0.05, rel
-
-    # incremental continuation works on the quantized cache
-    h2, q_cache = midinet.forward(params, cfg, x[:, :1], cache=q_cache)
-    assert int(q_cache.index) == 11
+    tok = cfg.tokenizer
+    exact = generate(params, cfg, batch_size=2, max_len=8, seed=3, greedy=True)
+    quant = generate(params, cfg, batch_size=2, max_len=8, seed=3, greedy=True,
+                     kv_int8=True)
+    assert exact.shape == quant.shape
+    # the first generated event depends only on the (unquantized) prompt
+    # prefill hidden, so it must match exactly
+    np.testing.assert_array_equal(exact[:, 1], quant[:, 1])
 
 
 def test_generate_with_int8_cache(setup):

@@ -15,41 +15,63 @@ def main(interpret):
     rng = np.random.default_rng(0)
     HKV, H, D, PS, PPS, B = 4, 8, 64, 16, 6, 5
     n_pages = B * PPS + 4
-    kp, vp = pa.alloc_pools(HKV, n_pages, PS, D, jnp.float32)
-    # fill pools with packed random data
-    raw_k = rng.normal(size=(n_pages, PS, HKV, D)).astype(np.float32)
-    raw_v = rng.normal(size=(n_pages, PS, HKV, D)).astype(np.float32)
-    kp = kp.at[...].set(np.asarray(pa.pack_heads(jnp.asarray(raw_k), HKV, D)))
-    vp = vp.at[...].set(np.asarray(pa.pack_heads(jnp.asarray(raw_v), HKV, D)))
+    raw_k = jnp.asarray(rng.normal(size=(n_pages, PS, HKV, D)), jnp.float32)
+    raw_v = jnp.asarray(rng.normal(size=(n_pages, PS, HKV, D)), jnp.float32)
     q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32) * (D ** -0.5)
     lengths = jnp.asarray([37, 0, 96, 1, 64], jnp.int32)
     base = jnp.asarray([0, 6, 12, 18, 24], jnp.int32)
 
-    o, m, l = pa.paged_attention_stats(
-        q, kp, vp, lengths, base, page_size=PS, pages_per_slot=PPS,
-        kv_heads=HKV, head_dim=D, ppcb=2, interpret=interpret)
-    o_ref, m_ref, l_ref = pa._decode_xla(
-        q, kp, vp, lengths, base, page_size=PS, pages_per_slot=PPS,
-        kv_heads=HKV, head_dim=D)
-    live = np.asarray(lengths) > 0
-    for name, a, r in (("o", o, o_ref), ("m", m, m_ref), ("l", l, l_ref)):
-        err = np.abs(np.asarray(a, np.float32)[live] - np.asarray(r, np.float32)[live]).max()
-        print(f"{name}: max err {err:.5f}")
-        assert err < 3e-2, (name, err)
-    # dead rows well-defined: m=-inf, l=0, o=0
-    assert np.all(np.asarray(l)[~live] == 0)
-    print("ALLHEADS OK")
+    for quantized in (False, True):
+        pools = pa.alloc_pools(HKV, n_pages, PS, D, jnp.float32,
+                               quantized=quantized)
+        if quantized:
+            kq, ks = pa.quantize_packed(raw_k, HKV, D)
+            vq, vs = pa.quantize_packed(raw_v, HKV, D)
+            pools = pools._replace(k=kq, v=vq,
+                                   scales=pa.combine_scales(ks, vs, HKV))
+        else:
+            pools = pools._replace(k=pa.pack_heads(raw_k, HKV, D),
+                                   v=pa.pack_heads(raw_v, HKV, D))
 
-    # kv_append parity
-    new_k = pa.pack_heads(jnp.asarray(rng.normal(size=(B, HKV, D)), jnp.float32), HKV, D)
-    new_v = pa.pack_heads(jnp.asarray(rng.normal(size=(B, HKV, D)), jnp.float32), HKV, D)
-    pages = jnp.asarray([0, 7, 13, 19, 25], jnp.int32)
-    offs = jnp.asarray([5, 0, 15, 3, 9], jnp.int32)
-    k1, v1 = pa._kv_append_xla(kp, vp, new_k, new_v, pages, offs)
-    k2, v2 = pa._kv_append_tpu(kp, vp, new_k, new_v, pages, offs, interpret=interpret)
-    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k1))
-    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))
-    print("APPEND OK")
+        o, m, l = pa.paged_attention_stats(
+            q, pools, lengths, base, page_size=PS, pages_per_slot=PPS,
+            kv_heads=HKV, head_dim=D, ppcb=2, interpret=interpret)
+        o_ref, m_ref, l_ref = pa._decode_xla(
+            q, pools, lengths, base, page_size=PS, pages_per_slot=PPS,
+            kv_heads=HKV, head_dim=D)
+        live = np.asarray(lengths) > 0
+        for name, a, r in (("o", o, o_ref), ("m", m, m_ref), ("l", l, l_ref)):
+            a = np.asarray(a, np.float32)[live]
+            r = np.asarray(r, np.float32)[live]
+            # l is a softmax mass sum (magnitude ~length) — compare relative
+            err = (np.abs(a - r) / np.maximum(np.abs(r), 1.0)).max() \
+                if name == "l" else np.abs(a - r).max()
+            print(f"{'int8' if quantized else 'fp'} {name}: max err {err:.5f}")
+            assert err < 3e-2, (name, err)
+        assert np.all(np.asarray(l)[~live] == 0)
+
+        # kv_append parity (kernel vs XLA .at[].set path)
+        new = jnp.asarray(rng.normal(size=(B, HKV, D)), jnp.float32)
+        pages = jnp.asarray([0, 7, 13, 19, 25], jnp.int32)
+        offs = jnp.asarray([5, 0, 15, 3, 9], jnp.int32)
+        if quantized:
+            nk, nks = pa.quantize_packed(new, HKV, D)
+            nv, nvs = pa.quantize_packed(new * 2, HKV, D)
+            bufs = [pools.k, pools.v, pools.scales]
+            news = [nk, nv, pa.combine_scales(nks, nvs, HKV)]
+        else:
+            nk = pa.pack_heads(new, HKV, D)
+            nv = pa.pack_heads(new * 2, HKV, D)
+            bufs, news = [pools.k, pools.v], [nk, nv]
+        ref = [buf.at[pages, offs, :].set(x.astype(buf.dtype))
+               for buf, x in zip(bufs, news)]
+        if interpret or jax.default_backend() == "tpu":
+            out = pa._kv_append_tpu(bufs, news, pages, offs,
+                                    interpret=interpret)
+            for a, r in zip(out, ref):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+        print(f"{'int8' if quantized else 'fp'} APPEND OK")
+    print("ALLHEADS OK")
 
 if __name__ == "__main__":
     main(interpret=len(sys.argv) > 1 and sys.argv[1] == "interp")
