@@ -24,11 +24,13 @@ Grammar masking and sampling semantics match sampling/generate.py exactly.
 
 Host/device discipline: per-slot bookkeeping must fetch device arrays to the
 host ONCE per step — indexing a device array per slot costs a full transfer
-round trip each time.  Measured throughput (tv2o-medium, one v5e chip,
-all-heads paged kernel with unpadded packed pages, chunk=64): ~7.5k
-events/sec at 32 slots, ~12.2k at 128 — 3.2x/3.7x the round-1 dense/blend
-design (2.3k / 3.3k); the kernel's cache reads stream at ~85% of HBM peak
-(2.24 us per cached position at bs=32), ~2x the dense XLA decode path.
+round trip each time.  Measured steady-state throughput (tv2o-medium, one
+v5e chip, all-heads paged kernel + Pallas sampler, chunk=32, full occupancy;
+tools/bench_batcher.py --steady): ~6.3k events/sec at 32 slots, ~12.2k at
+128 (the round-1 dense/blend design: 2.3k / 3.3k). ``kv_int8`` stores int8
+pages + per-token scales: ~4% slower at short contexts but HALF the cache
+HBM — the capacity option for many slots x long contexts (128 slots x 4096
+events: 6.7 GB instead of 12.9 GB).
 Note: this container's remote compiler crashes on exactly-64-slot programs —
 use 32 or 128 slots; chunk size is free.
 """

@@ -1,4 +1,12 @@
-"""Continuous-batch serving throughput on one chip (tv2o-medium)."""
+"""Continuous-batch serving throughput on one chip (tv2o-medium).
+
+Two modes:
+- default: end-to-end (admission + prefill + ramp + tail) over a request
+  stream — the number a short bursty workload sees;
+- --steady: per-step timing at full occupancy with unbounded budgets — the
+  sustained decode throughput (what capacity planning wants). This is the
+  number quoted in BASELINE.md config 5.
+"""
 
 import sys
 import time
@@ -14,15 +22,22 @@ from midi_model_tpu.models import MIDIModelConfig, midinet
 from midi_model_tpu.serve.batcher import ContinuousBatcher
 
 
-def main(n_slots=128, max_seq=512, budget=128, n_requests=160):
+def _setup(n_slots, max_seq, chunk, kv_int8):
     config = MIDIModelConfig.from_name("tv2o-medium")
     tok = config.tokenizer
-    params = midinet.init_params(jax.random.PRNGKey(0), config, dtype=jnp.bfloat16)
+    params = midinet.init_params(jax.random.PRNGKey(0), config,
+                                 dtype=jnp.bfloat16)
     batcher = ContinuousBatcher(params, config, n_slots=n_slots,
-                                max_seq=max_seq, chunk=32, disable_eos=True)
+                                max_seq=max_seq, chunk=chunk,
+                                disable_eos=True, kv_int8=kv_int8)
     prompt = np.full((1, tok.max_token_seq), tok.pad_id, np.int32)
     prompt[0, 0] = tok.bos_id
+    return batcher, prompt
 
+
+def main(n_slots=128, max_seq=512, budget=128, n_requests=160,
+         kv_int8=False, chunk=32):
+    batcher, prompt = _setup(n_slots, max_seq, chunk, kv_int8)
     for _ in range(n_slots):
         batcher.submit(prompt, max_events=budget)
     batcher.step()  # compile + first chunk
@@ -37,10 +52,33 @@ def main(n_slots=128, max_seq=512, budget=128, n_requests=160):
                 batcher.submit(prompt, max_events=budget)
                 submitted += 1
     dt = time.time() - t0
-    print(f"slots={n_slots} requests={n_requests} budget={budget}: "
-          f"{total_rows} rows in {dt:.1f}s -> {total_rows/dt:,.0f} events/sec",
+    print(f"slots={n_slots} requests={n_requests} budget={budget}"
+          f"{' int8' if kv_int8 else ''}: {total_rows} rows in {dt:.1f}s "
+          f"-> {total_rows/dt:,.0f} events/sec", flush=True)
+
+
+def steady(n_slots=128, max_seq=512, kv_int8=False, chunk=32):
+    batcher, prompt = _setup(n_slots, max_seq, chunk, kv_int8)
+    for _ in range(n_slots):
+        batcher.submit(prompt, max_events=10**9)  # never retire
+    batcher.step()  # compile
+    times = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        batcher.step()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(f"steady slots={n_slots} chunk={chunk}{' int8' if kv_int8 else ''}: "
+          f"{best*1e3:.1f} ms/step -> {n_slots*chunk/best:,.0f} events/sec",
           flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    args = sys.argv[1:]
+    kv_int8 = "--int8" in args
+    slots = next((int(a.split("=")[1]) for a in args
+                  if a.startswith("--slots=")), 128)
+    if "--steady" in args:
+        steady(n_slots=slots, kv_int8=kv_int8)
+    else:
+        main(n_slots=slots, kv_int8=kv_int8)
