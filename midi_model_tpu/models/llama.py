@@ -282,11 +282,12 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
     Returns (hidden [B, D], pools). Writes for rows at capacity are clamped
     to the last position (callers must retire such slots).
 
-    The fresh token is NOT written before attention: the kernel attends the
+    The fresh token is NOT attended from the pool: the kernel attends the
     cached history (lengths = index) and returns flash stats (m, l), and the
     token's self-attention term merges analytically (exact, unquantized).
-    This lets all layers' pool writes batch into ONE kv_append kernel call
-    per event.
+    The fresh row is appended IN the attention kernel (a small read-modify-
+    write tile fused into the cells that are already streaming the cache) —
+    no separate write dispatch at all.
     """
     from ..ops import paged_allheads as pa
 
@@ -309,7 +310,7 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
     slot_ids = jnp.arange(b, dtype=jnp.int32)
 
     def body(carry, lp):
-        xx, li = carry
+        xx, li, pools = carry
         hc = rms_norm(xx[:, None, :], lp["ln_attn"], eps)
         q = (hc @ lp["wq"]).reshape(b, 1, h, dh)
         k = (hc @ lp["wk"]).reshape(b, 1, hkv, dh)
@@ -318,14 +319,23 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
         k = apply_rope(k, cos, sin)
         k, v = k[:, 0], v[:, 0]  # [B, Hkv, Dh]
 
+        if quantized:
+            kq, kscale = pa.quantize_packed(k, hkv, dh)
+            vq, vscale = pa.quantize_packed(v, hkv, dh)
+            write = (kq, vq, pa.combine_scales(kscale, vscale, hkv))
+        else:
+            write = (pa.pack_heads(k, hkv, dh), pa.pack_heads(v, hkv, dh),
+                     None)
         base_pages = (li * b + slot_ids) * pps
         # q pre-scaled in fp32 (the kernel has no internal scaling; fp32
         # matches the dense path's fp32-score scaling for HF parity)
         qs = q[:, 0].astype(jnp.float32) * scale
-        o, m, l = pa.paged_attention_stats(
-            qs, pools, lengths, base_pages, page_size=page_size,
-            pages_per_slot=pps, kv_heads=hkv, head_dim=dh,
-            ppcb=pages_per_compute_block)
+        o, m, l, pools = pa.paged_attention_stats(
+            qs, pools, lengths, base_pages,
+            write + (base_pages + write_pos // page_size,
+                     write_pos % page_size),
+            page_size=page_size, pages_per_slot=pps, kv_heads=hkv,
+            head_dim=dh, ppcb=pages_per_compute_block)
 
         # flash merge of the fresh token's self term; for length-0 rows
         # (m=-inf, l=0) this reduces to exactly the self attention
@@ -343,28 +353,10 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
         hm = rms_norm(xx, lp["ln_mlp"], eps)
         gated = jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])
         xx = xx + gated @ lp["w_down"]
-        if quantized:
-            kq, ks = pa.quantize_packed(k, hkv, dh)
-            vq, vs = pa.quantize_packed(v, hkv, dh)
-            ys = (kq, vq, pa.combine_scales(ks, vs, hkv))
-        else:
-            ys = (pa.pack_heads(k, hkv, dh), pa.pack_heads(v, hkv, dh),
-                  jnp.zeros((b, 0)))
-        return (xx, li + 1), ys
+        return (xx, li + 1, pools), None
 
-    (x, _), (ks, vs, ss) = jax.lax.scan(
-        body, (x, jnp.zeros((), jnp.int32)), params["layers"])
-
-    # one batched write for all layers: packed rows [L*B, Hkv*LANE],
-    # absolute pages (l*B + b)*pps + pos//page_size
-    layer_ids = jnp.arange(n_layers, dtype=jnp.int32)
-    pages = ((layer_ids[:, None] * b + slot_ids[None, :]) * pps
-             + (write_pos // page_size)[None, :]).reshape(-1)
-    offsets = jnp.tile(write_pos % page_size, n_layers)
-    pools = pa.kv_append(
-        pools, ks.reshape(n_layers * b, -1), vs.reshape(n_layers * b, -1),
-        pages, offsets,
-        new_scales=ss.reshape(n_layers * b, -1) if quantized else None)
+    (x, _, pools), _ = jax.lax.scan(
+        body, (x, jnp.zeros((), jnp.int32), pools), params["layers"])
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, pools

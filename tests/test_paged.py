@@ -37,45 +37,51 @@ def qpool():
     return pools._replace(k=kq, v=vq, scales=pa.combine_scales(ks, vs, hkv))
 
 
-def test_kv_append_kernel_matches_xla(pool):
-    """The Pallas append kernel (interpret mode on CPU) == the XLA scatter."""
+@pytest.mark.parametrize("which", ["fp", "int8"])
+def test_fused_append_matches_xla(pool, qpool, which):
+    """The in-kernel RMW append (interpret mode) == the XLA scatter, and the
+    attention outputs are unchanged by the write (lengths stop before it).
+    Covers offset 0, mid-page, and the very last row of a slot's last page."""
+    pools = pool if which == "fp" else qpool
     rng = np.random.default_rng(1)
-    b, w = 3, pool.k.shape[-1]
-    new_k = jnp.asarray(rng.normal(size=(b, w)), jnp.float32)
-    new_v = jnp.asarray(rng.normal(size=(b, w)), jnp.float32)
-    pages = jnp.asarray([0, 9, 33], jnp.int32)
-    offs = jnp.asarray([5, 0, 15], jnp.int32)
+    b, h, hkv, d, ps, pps = 3, 8, 4, 64, 16, 6
+    q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32) * (d ** -0.5)
+    lengths = jnp.asarray([37, 0, 95], jnp.int32)
+    base = jnp.asarray([0, 6, 12], jnp.int32)
+    raw_k = jnp.asarray(rng.normal(size=(b, hkv, d)), jnp.float32)
+    raw_v = jnp.asarray(rng.normal(size=(b, hkv, d)), jnp.float32)
+    if which == "int8":
+        new_k, ks = pa.quantize_packed(raw_k, hkv, d)
+        new_v, vs = pa.quantize_packed(raw_v, hkv, d)
+        scales = pa.combine_scales(ks, vs, hkv)
+    else:
+        new_k = pa.pack_heads(raw_k, hkv, d)
+        new_v = pa.pack_heads(raw_v, hkv, d)
+        scales = None
+    wpages = base + lengths // ps
+    woffs = lengths % ps
 
-    ref = pa.kv_append(pool, new_k, new_v, pages, offs)  # XLA path on CPU
-    k_pl, v_pl = pa._kv_append_tpu([pool.k, pool.v], [new_k, new_v],
-                                   pages, offs, interpret=True)
-    np.testing.assert_array_equal(np.asarray(k_pl), np.asarray(ref.k))
-    np.testing.assert_array_equal(np.asarray(v_pl), np.asarray(ref.v))
-
-
-def test_kv_append_quantized(qpool):
-    """Quantized append writes int8 rows + combined scale rows on both paths."""
-    rng = np.random.default_rng(5)
-    hkv, d = 4, 64
-    b = 3
-    raw = jnp.asarray(rng.normal(size=(b, hkv, d)), jnp.float32)
-    new_k, ks = pa.quantize_packed(raw, hkv, d)
-    new_v, vs = pa.quantize_packed(raw * 2, hkv, d)
-    scales = pa.combine_scales(ks, vs, hkv)
-    pages = jnp.asarray([1, 8, 30], jnp.int32)
-    offs = jnp.asarray([3, 0, 15], jnp.int32)
-
-    ref = pa.kv_append(qpool, new_k, new_v, pages, offs, new_scales=scales)
-    out = pa._kv_append_tpu(
-        [qpool.k, qpool.v, qpool.scales],
-        [new_k, new_v, scales], pages, offs, interpret=True)
-    for a, r in zip(out, ref):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
-    assert ref.k.dtype == jnp.int8
-    np.testing.assert_array_equal(np.asarray(ref.k[1, 3]), np.asarray(new_k[0]))
-    np.testing.assert_array_equal(
-        np.asarray(pa.split_scales(ref.scales[1, 3], hkv)[0]),
-        np.asarray(ks[0]))
+    ref = pa.kv_append(pools, new_k, new_v, wpages, woffs, new_scales=scales)
+    o0, m0, l0 = pa.paged_attention_stats(
+        q, pools, lengths, base, page_size=ps, pages_per_slot=pps,
+        kv_heads=hkv, head_dim=d, ppcb=2, interpret=True)
+    o, m, l, out = pa.paged_attention_stats(
+        q, pools, lengths, base, (new_k, new_v, scales, wpages, woffs),
+        page_size=ps, pages_per_slot=pps, kv_heads=hkv, head_dim=d,
+        ppcb=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.k), np.asarray(ref.k))
+    np.testing.assert_array_equal(np.asarray(out.v), np.asarray(ref.v))
+    if which == "int8":
+        assert out.k.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(out.scales),
+                                      np.asarray(ref.scales))
+        np.testing.assert_array_equal(
+            np.asarray(pa.split_scales(out.scales[wpages[0], woffs[0]],
+                                       hkv)[0]),
+            np.asarray(ks[0]))
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l0), rtol=1e-6)
 
 
 @pytest.mark.parametrize("which", ["fp", "int8"])

@@ -50,26 +50,33 @@ def main(interpret):
             assert err < 3e-2, (name, err)
         assert np.all(np.asarray(l)[~live] == 0)
 
-        # kv_append parity (kernel vs XLA .at[].set path)
+        # fused in-kernel append parity (RMW in the attention kernel vs the
+        # XLA .at[].set path); write at each slot's current length
         new = jnp.asarray(rng.normal(size=(B, HKV, D)), jnp.float32)
-        pages = jnp.asarray([0, 7, 13, 19, 25], jnp.int32)
-        offs = jnp.asarray([5, 0, 15, 3, 9], jnp.int32)
+        wpos = jnp.clip(lengths, 0, PS * PPS - 1)  # as decode_paged clamps
+        wpages = base + wpos // PS
+        woffs = wpos % PS
         if quantized:
             nk, nks = pa.quantize_packed(new, HKV, D)
             nv, nvs = pa.quantize_packed(new * 2, HKV, D)
-            bufs = [pools.k, pools.v, pools.scales]
-            news = [nk, nv, pa.combine_scales(nks, nvs, HKV)]
+            nscales = pa.combine_scales(nks, nvs, HKV)
         else:
             nk = pa.pack_heads(new, HKV, D)
             nv = pa.pack_heads(new * 2, HKV, D)
-            bufs, news = [pools.k, pools.v], [nk, nv]
-        ref = [buf.at[pages, offs, :].set(x.astype(buf.dtype))
-               for buf, x in zip(bufs, news)]
+            nscales = None
+        ref = pa.kv_append(pools, nk, nv, wpages, woffs, new_scales=nscales)
         if interpret or jax.default_backend() == "tpu":
-            out = pa._kv_append_tpu(bufs, news, pages, offs,
-                                    interpret=interpret)
-            for a, r in zip(out, ref):
-                np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+            o2, m2, l2, out = pa.paged_attention_stats(
+                q, pools, lengths, base, (nk, nv, nscales, wpages, woffs),
+                page_size=PS, pages_per_slot=PPS, kv_heads=HKV, head_dim=D,
+                ppcb=2, interpret=interpret)
+            np.testing.assert_array_equal(np.asarray(out.k), np.asarray(ref.k))
+            np.testing.assert_array_equal(np.asarray(out.v), np.asarray(ref.v))
+            if quantized:
+                np.testing.assert_array_equal(np.asarray(out.scales),
+                                              np.asarray(ref.scales))
+            np.testing.assert_allclose(np.asarray(o2), np.asarray(o, np.float32),
+                                       atol=1e-5)
         print(f"{'int8' if quantized else 'fp'} APPEND OK")
     print("ALLHEADS OK")
 
