@@ -122,12 +122,20 @@ def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
         all_eos=jnp.asarray(False))
 
 
-def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
-                      masks, temp, top_p, top_k, key, greedy: bool):
-    """Sample one full row (8 tokens) and advance the event cache."""
+def token_row_scan(params, config: MIDIModelConfig, hidden: jax.Array, masks,
+                   temp, top_p, top_k, key, greedy: bool,
+                   forced_pad: Optional[jax.Array] = None):
+    """Decode one full token row per batch row as an XLA ``lax.scan`` (the
+    portable path; on TPU with bf16 weights ``ops.token_loop`` fuses the whole
+    loop into one VMEM-resident kernel — see :func:`decode_token_row_any`).
+
+    hidden [B, D]: event-net hidden; forced_pad [B] bool (optional): rows
+    forced to emit pad rows (retired continuous-batching slots).
+    Returns (row [B, T] i32, ended [B] bool — eos emitted at step 0).
+    """
     first, steps_tbl, pad_only = masks
     tok_cfg = config.net_token
-    b = state.hidden.shape[0]
+    b = hidden.shape[0]
     t_max = config.tokenizer.max_token_seq
     dtype = params["lm_head"].dtype
     eos_id = config.tokenizer.eos_id
@@ -141,7 +149,7 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
         i, step_key = xs
         inp = jnp.where(
             (i == 0),
-            state.hidden.astype(dtype),
+            hidden.astype(dtype),
             jnp.take(params["net_token"]["embed"], prev_tok, axis=0),
         )[:, None, :]
         h, cache2 = llama.forward(params["net_token"], tok_cfg, inp, cache=cache2)
@@ -150,6 +158,8 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
         step_mask = steps_tbl[e_off, i]  # [B, V]
         mask = jnp.where(i == 0, first[None, :], step_mask)
         mask = jnp.where(ended[:, None], pad_only[None, :], mask)
+        if forced_pad is not None:
+            mask = jnp.where(forced_pad[:, None], pad_only[None, :], mask)
         probs = probs * mask
         if greedy:
             tok = sample_greedy(probs)
@@ -167,7 +177,31 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
             jnp.zeros((b,), jnp.int32))
     (cache2, _, ended, _), toks = jax.lax.scan(
         token_step, init, (jnp.arange(t_max), keys))
-    row = toks.T  # [B, T]
+    return toks.T, ended  # row [B, T], ended [B]
+
+
+def decode_token_row_any(params, config: MIDIModelConfig, hidden: jax.Array,
+                         masks, temp, top_p, top_k, key, greedy: bool,
+                         forced_pad: Optional[jax.Array] = None):
+    """Token-row decode with backend dispatch: the fused VMEM-resident Pallas
+    kernel on TPU/bf16 (ops/token_loop.py, ~4x the XLA scan at bs=32), the
+    XLA scan elsewhere."""
+    from ..ops import token_loop
+
+    if token_loop.usable(params, config):
+        return token_loop.decode_token_row(
+            params, config, hidden, masks, temp, top_p, top_k, key,
+            greedy=greedy, forced_pad=forced_pad)
+    return token_row_scan(params, config, hidden, masks, temp, top_p, top_k,
+                          key, greedy, forced_pad)
+
+
+def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
+                      masks, temp, top_p, top_k, key, greedy: bool):
+    """Sample one full row (8 tokens) and advance the event cache."""
+    b = state.hidden.shape[0]
+    row, ended = decode_token_row_any(params, config, state.hidden, masks,
+                                      temp, top_p, top_k, key, greedy)
 
     # Feed the sampled row through the event net (conditions the next event).
     emb = midinet.embed_events(params, row[:, None, :])

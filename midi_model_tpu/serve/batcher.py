@@ -48,9 +48,8 @@ import numpy as np
 from ..models import llama, midinet
 from ..models.config import MIDIModelConfig
 from ..models.llama import KVCache
-from ..sampling.generate import _mask_arrays
+from ..sampling.generate import _mask_arrays, decode_token_row_any
 from ..sampling.masks import build_mask_table
-from ..sampling.topk_topp import sample_top_p_k
 
 PREFILL_BUCKETS = (16, 64, 256, 1024, 4096)
 
@@ -161,53 +160,17 @@ def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
     no wasted decode past retirement (round-1 weakness #3) and no silent
     writes past capacity (advisor finding #3).
     """
-    first, steps_tbl, pad_only = masks
-    tok_cfg = config.net_token
-    t_max = config.tokenizer.max_token_seq
     dtype = params["lm_head"].dtype
     eos_id = config.tokenizer.eos_id
-    first_event_id = eos_id + 1
-    n_events = len(config.tokenizer.events)
     pools, index, hidden = carry
     b = hidden.shape[0]
     capacity = page_size * pages_per_slot
 
     def one_event(carry, ev_key):
         pools, index, hidden, alive = carry
-        cache2 = KVCache.zeros(tok_cfg, b, t_max, dtype=dtype)
-
-        def token_step(tc, xs):
-            cache2, prev_tok, ended, e_off = tc
-            i, step_key = xs
-            inp = jnp.where(
-                (i == 0), hidden.astype(dtype),
-                jnp.take(params["net_token"]["embed"], prev_tok, axis=0),
-            )[:, None, :]
-            h, cache2 = llama.forward(params["net_token"], tok_cfg, inp,
-                                      cache=cache2)
-            logits = midinet.lm_head(params, h[:, 0])
-            probs = jax.nn.softmax(logits / temp, axis=-1)
-            step_mask = steps_tbl[e_off, i]
-            mask = jnp.where(i == 0, first[None, :], step_mask)
-            mask = jnp.where(ended[:, None], pad_only[None, :], mask)
-            mask = jnp.where(alive[:, None], mask, pad_only[None, :])
-            probs = probs * mask
-            if greedy:
-                tok = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-            else:
-                tok = sample_top_p_k(probs, top_p, top_k, step_key).astype(jnp.int32)
-            is_first = i == 0
-            ended = jnp.where(is_first, tok == eos_id, ended)
-            e_off = jnp.where(is_first,
-                              jnp.clip(tok - first_event_id, 0, n_events - 1),
-                              e_off)
-            return (cache2, tok, ended, e_off), tok
-
-        keys = jax.random.split(ev_key, t_max)
-        init = (cache2, jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool),
-                jnp.zeros((b,), jnp.int32))
-        _, toks = jax.lax.scan(token_step, init, (jnp.arange(t_max), keys))
-        row = toks.T  # [B, T]
+        row, _ended = decode_token_row_any(
+            params, config, hidden, masks, temp, top_p, top_k, ev_key,
+            greedy, forced_pad=~alive)
 
         emb = midinet.embed_events(params, row[:, None, :])[:, 0]
         h, pools = llama.decode_paged(

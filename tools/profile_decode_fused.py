@@ -24,6 +24,26 @@ from midi_model_tpu.sampling.topk_topp import sample_top_p_k
 
 B = 32
 N = 64
+_FLOOR = [0.0]  # measured dispatch+sync floor of the axon tunnel (seconds)
+
+
+def _measure_floor():
+    """One dispatch + scalar fetch of a trivial program: everything below
+    this is tunnel overhead, not device time — subtract it from every probe
+    (it used to be ~31 ms and polluted all round-1 attributions)."""
+    @jax.jit
+    def nop(x):
+        return x + 1.0
+
+    x = jnp.zeros(())
+    float(nop(x))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(nop(x))
+        best = min(best, time.perf_counter() - t0)
+    _FLOOR[0] = best
+    print(f"tunnel floor (dispatch+sync): {best*1e3:.1f} ms — subtracted")
 
 
 def timeit(fn, *args, label=""):
@@ -35,7 +55,8 @@ def timeit(fn, *args, label=""):
         t0 = time.perf_counter()
         float(fn(*args))
         best = min(best, (time.perf_counter() - t0))
-    print(f"{label}: {best / N * 1000:.3f} ms/iter  ({best*1000:.1f} ms / {N})")
+    dev = best - _FLOOR[0]
+    print(f"{label}: {dev / N * 1000:.3f} ms/iter  ({dev*1000:.1f} ms / {N})")
 
 
 def main():
@@ -45,6 +66,7 @@ def main():
                                  dtype=jnp.bfloat16)
     masks = _mask_arrays(build_mask_table(tok, disable_eos=True))
     key = jax.random.PRNGKey(0)
+    _measure_floor()
 
     # 1. full event (token scan + sampling + event-net cached step), cache 513
     @jax.jit
@@ -62,41 +84,27 @@ def main():
     state0 = prefill(params, config, prompt, 513)
     timeit(full_events, params, state0, label="full event (cache 513)")
 
-    # 2. token-net scan + sampling only (hidden fixed)
+    # 2. token-row decode (8 steps incl. sampling): XLA scan vs fused kernel
+    from midi_model_tpu.ops import token_loop
+    from midi_model_tpu.sampling.generate import token_row_scan
     hidden = jnp.zeros((B, config.n_embd), jnp.bfloat16)
 
-    @jax.jit
-    def token_loops(params, hidden):
-        tok_cfg = config.net_token
-        t_max = tok.max_token_seq
-        first, steps_tbl, pad_only = masks
+    def row_probe(fn):
+        @jax.jit
+        def run(params, hidden):
+            def one_loop(i, h):
+                row, _ = fn(params, h, jax.random.fold_in(key, i))
+                return h + row.sum().astype(h.dtype) * 1e-9
+            return jax.lax.fori_loop(0, N, one_loop, hidden
+                                     ).astype(jnp.float32).sum()
+        return run
 
-        def one_loop(i, h):
-            cache2 = KVCache.zeros(tok_cfg, B, t_max, dtype=jnp.bfloat16)
-
-            def token_step(carry, xs):
-                cache2, prev_tok = carry
-                j, sk = xs
-                inp = jnp.where(j == 0, h.astype(jnp.bfloat16),
-                                jnp.take(params["net_token"]["embed"],
-                                         prev_tok, axis=0))[:, None, :]
-                hh, cache2 = llama.forward(params["net_token"], tok_cfg, inp,
-                                           cache=cache2)
-                logits = midinet.lm_head(params, hh[:, 0])
-                probs = jax.nn.softmax(logits, axis=-1) * first[None, :]
-                t = sample_top_p_k(probs, 0.98, 20, sk)
-                return (cache2, t.astype(jnp.int32)), None
-
-            keys = jax.random.split(jax.random.fold_in(key, i), t_max)
-            (c2, t), _ = jax.lax.scan(
-                token_step, (cache2, jnp.zeros((B,), jnp.int32)),
-                (jnp.arange(t_max), keys))
-            return h + t[:, None].astype(h.dtype) * 1e-9
-
-        return jax.lax.fori_loop(0, N, one_loop, hidden
-                                 ).astype(jnp.float32).sum()
-
-    timeit(token_loops, params, hidden, label="token scan+sample (8 steps)")
+    timeit(row_probe(lambda p, h, k: token_row_scan(
+        p, config, h, masks, 1.0, 0.98, 20, k, False)),
+        params, hidden, label="token row: XLA scan (8 steps+sample)")
+    timeit(row_probe(lambda p, h, k: token_loop.decode_token_row(
+        p, config, h, masks, 1.0, 0.98, 20, k)),
+        params, hidden, label="token row: fused kernel")
 
     # 3. sampling alone (8 per iter)
     logits0 = jnp.zeros((B, tok.vocab_size), jnp.float32)
