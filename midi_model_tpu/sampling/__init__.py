@@ -8,6 +8,7 @@ from .generate import (
     prefill,
 )
 from .masks import MaskTable, build_mask_table
+from .sharded import decode_events_dp, generate_dp, prefill_dp
 from .topk_topp import sample_greedy, sample_top_p_k
 
 __all__ = [
@@ -15,7 +16,10 @@ __all__ = [
     "MaskTable",
     "build_mask_table",
     "decode_events",
+    "decode_events_dp",
     "generate",
+    "generate_dp",
+    "prefill_dp",
     "normalize_prompt",
     "prefill",
     "sample_greedy",

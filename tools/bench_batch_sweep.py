@@ -16,8 +16,8 @@ from midi_model_tpu.sampling.generate import _mask_arrays, normalize_prompt
 EVENTS = 512
 
 
-def run(batch):
-    config = MIDIModelConfig.from_name("tv2o-medium")
+def run(batch, name="tv2o-medium"):
+    config = MIDIModelConfig.from_name(name)
     tok = config.tokenizer
     params = midinet.init_params(jax.random.PRNGKey(0), config, dtype=jnp.bfloat16)
     prompt = jnp.asarray(normalize_prompt(tok, None, batch))
@@ -39,14 +39,18 @@ def run(batch):
         n = int(n)
         best = max(best, n / (time.time() - t0))
     dt = n / best
-    print(f"bs={batch}: {n} events in {dt:.1f}s -> "
+    print(f"{name} bs={batch}: {n} events in {dt:.1f}s -> "
           f"{n * batch / dt:,.0f} events/sec", flush=True)
 
 
 if __name__ == "__main__":
-    for batch in (32, 128):
+    name = next((a.split("=")[1] for a in sys.argv[1:]
+                 if a.startswith("--config=")), "tv2o-medium")
+    batches = next((a.split("=")[1] for a in sys.argv[1:]
+                    if a.startswith("--batches=")), "32,128")
+    for batch in (int(b) for b in batches.split(",")):
         try:
-            run(batch)
+            run(batch, name)
         except Exception as e:
             print(f"bs={batch}: FAILED {type(e).__name__} {str(e)[:160]}",
                   flush=True)
