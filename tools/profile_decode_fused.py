@@ -119,7 +119,28 @@ def main():
 
     timeit(samples, logits0, label="sampling x8")
 
-    # 4. event-net cached step alone, cache 513
+    # 4. event-net cached step: the LIVE paged path vs the dense XLA path
+    emb1 = jnp.zeros((B, config.n_embd), jnp.bfloat16)
+    net = config.net
+    ps, pps = 64, 12  # capacity 768, whole 4-page blocks
+    from midi_model_tpu.ops.paged_allheads import alloc_pools
+    pools = alloc_pools(net.kv_heads, net.num_layers * B * pps, ps,
+                        net.head_dim, jnp.bfloat16)
+    index = jnp.full((B,), 513, jnp.int32)
+
+    @jax.jit
+    def paged_steps(params, emb1, pools):
+        def body(i, carry):
+            e, pl_ = carry
+            h, pl_ = llama.decode_paged(params["net"], net, e, pl_, index,
+                                        page_size=ps, pages_per_slot=pps)
+            return (e + h * 1e-9, pl_)
+        e, _ = jax.lax.fori_loop(0, N, body, (emb1, pools))
+        return e.astype(jnp.float32).sum()
+
+    timeit(paged_steps, params, emb1, pools,
+           label="event-net paged step (cache 513)")
+
     emb = jnp.zeros((B, 1, config.n_embd), jnp.bfloat16)
     cache = KVCache.zeros(config.net, B, 513, dtype=jnp.bfloat16)
 
@@ -133,7 +154,8 @@ def main():
         e, _ = jax.lax.fori_loop(0, N, body, (emb, cache))
         return e.astype(jnp.float32).sum()
 
-    timeit(event_steps, params, emb, cache, label="event-net step (cache 513)")
+    timeit(event_steps, params, emb, cache,
+           label="event-net dense step (cache 513)")
 
 
 if __name__ == "__main__":
