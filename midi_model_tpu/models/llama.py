@@ -266,6 +266,7 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
                  pools, index: jax.Array,
                  active: Optional[jax.Array] = None, *, page_size: int,
                  pages_per_slot: int, pages_per_compute_block: int = 4,
+                 streaming: bool = True,
                  ) -> Tuple[jax.Array, "object"]:
     """One-token decode step over paged KV pools (continuous batching).
 
@@ -335,7 +336,7 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
             write + (base_pages + write_pos // page_size,
                      write_pos % page_size),
             page_size=page_size, pages_per_slot=pps, kv_heads=hkv,
-            head_dim=dh, ppcb=pages_per_compute_block)
+            head_dim=dh, ppcb=pages_per_compute_block, streaming=streaming)
 
         # flash merge of the fresh token's self term; for length-0 rows
         # (m=-inf, l=0) this reduces to exactly the self attention

@@ -208,9 +208,12 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
     ps = state.pools.page_size
     pps = state.pools.k.shape[0] // (config.net.num_layers * b)
     index = jnp.broadcast_to(state.cur_len, (b,))
+    # aligned decode: uniform lengths favor the per-cell kernel (no
+    # work-table indirection); the streaming kernel wins on the batcher's
+    # ragged short lengths (serve/batcher.py)
     h, pools = llama.decode_paged(
         params["net"], config.net, emb[:, 0], state.pools,
-        index, page_size=ps, pages_per_slot=pps)
+        index, page_size=ps, pages_per_slot=pps, streaming=False)
     return state._replace(pools=pools, hidden=h,
                           cur_len=state.cur_len + 1,
                           all_eos=jnp.all(ended)), row

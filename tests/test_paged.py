@@ -37,8 +37,9 @@ def qpool():
     return pools._replace(k=kq, v=vq, scales=pa.combine_scales(ks, vs, hkv))
 
 
+@pytest.mark.parametrize("streaming", [True, False])
 @pytest.mark.parametrize("which", ["fp", "int8"])
-def test_fused_append_matches_xla(pool, qpool, which):
+def test_fused_append_matches_xla(pool, qpool, which, streaming):
     """The in-kernel RMW append (interpret mode) == the XLA scatter, and the
     attention outputs are unchanged by the write (lengths stop before it).
     Covers offset 0, mid-page, and the very last row of a slot's last page."""
@@ -64,11 +65,12 @@ def test_fused_append_matches_xla(pool, qpool, which):
     ref = pa.kv_append(pools, new_k, new_v, wpages, woffs, new_scales=scales)
     o0, m0, l0 = pa.paged_attention_stats(
         q, pools, lengths, base, page_size=ps, pages_per_slot=pps,
-        kv_heads=hkv, head_dim=d, ppcb=2, interpret=True)
+        kv_heads=hkv, head_dim=d, ppcb=2, streaming=streaming,
+        interpret=True)
     o, m, l, out = pa.paged_attention_stats(
         q, pools, lengths, base, (new_k, new_v, scales, wpages, woffs),
         page_size=ps, pages_per_slot=pps, kv_heads=hkv, head_dim=d,
-        ppcb=2, interpret=True)
+        ppcb=2, streaming=streaming, interpret=True)
     np.testing.assert_array_equal(np.asarray(out.k), np.asarray(ref.k))
     np.testing.assert_array_equal(np.asarray(out.v), np.asarray(ref.v))
     if which == "int8":
@@ -84,8 +86,9 @@ def test_fused_append_matches_xla(pool, qpool, which):
     np.testing.assert_allclose(np.asarray(l), np.asarray(l0), rtol=1e-6)
 
 
+@pytest.mark.parametrize("streaming", [True, False])
 @pytest.mark.parametrize("which", ["fp", "int8"])
-def test_decode_kernel_matches_xla(pool, qpool, which):
+def test_decode_kernel_matches_xla(pool, qpool, which, streaming):
     """The all-heads flash kernel (interpret mode) == dense masked attention,
     including GQA mapping, zero-length skip, the (m, l) stats, and in-kernel
     int8 dequantization."""
@@ -98,7 +101,8 @@ def test_decode_kernel_matches_xla(pool, qpool, which):
 
     o, m, l = pa.paged_attention_stats(
         q, pools, lengths, base, page_size=ps, pages_per_slot=pps,
-        kv_heads=hkv, head_dim=d, ppcb=2, interpret=True)
+        kv_heads=hkv, head_dim=d, ppcb=2, streaming=streaming,
+        interpret=True)
     o_r, m_r, l_r = pa._decode_xla(q, pools, lengths, base, page_size=ps,
                                    pages_per_slot=pps, kv_heads=hkv,
                                    head_dim=d)
