@@ -740,7 +740,7 @@ def _decode_tpu_stream(q_diag, pools: PagedPools, lengths, base_pages, write=Non
             # budget SHARED with neighboring kernels in the same program
             # (the fused token-row kernel), so an over-large value here
             # starves them.
-            vmem_limit_bytes=28 * 1024 * 1024 if b > 64 else None),
+            vmem_limit_bytes=(28 if b > 64 else 14) * 1024 * 1024),
         interpret=interpret,
     )(*scalars, q_diag, *pool_arrays, *news)
     if not append:

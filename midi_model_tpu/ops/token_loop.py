@@ -272,10 +272,11 @@ def decode_token_row(params: dict, config, hidden: jax.Array, masks,
     forced = (jnp.zeros((b, 1), jnp.int32) if forced_pad is None
               else forced_pad.astype(jnp.int32)[:, None])
 
-    # VMEM-input weights everywhere: XLA's liveness analysis overlaps the
-    # input windows with the paged kernel's scratch, which the (retained)
-    # ANY+manual-DMA variant defeats — its scratch is live for the whole
-    # kernel and the two kernels' budgets then sum past 128 MB at B=128.
+    # VMEM-input weights: XLA's liveness analysis overlaps the input
+    # windows with the paged kernel's scratch. The retained ANY+manual-DMA
+    # variant (fill_weights) measured WORSE in every tried configuration —
+    # its scratch is live for the whole kernel, so the two kernels' vmem
+    # budgets sum past 128 MB.
     fill_weights = False
     kernel = functools.partial(
         _token_row_kernel,
@@ -306,7 +307,11 @@ def decode_token_row(params: dict, config, hidden: jax.Array, masks,
                    jax.ShapeDtypeStruct((b, 1), jnp.int32)],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(64 if fill_weights else 120) * 1024 * 1024),
+            # measured demand with double-buffered VMEM weight inputs is
+            # ~110 MB; the explicit limits of co-compiled Pallas kernels
+            # can SUM in the program's vmem accounting, so keep this as
+            # tight as the demand allows (the paged kernel reserves 14-28)
+            vmem_limit_bytes=(64 if fill_weights else 112) * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.asarray(temp, jnp.float32).reshape(1),

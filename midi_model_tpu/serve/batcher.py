@@ -28,9 +28,13 @@ round trip each time.  Measured steady-state throughput (tv2o-medium, one
 v5e chip, all-heads paged kernel + Pallas sampler, chunk=32, full occupancy;
 tools/bench_batcher.py --steady): ~6.3k events/sec at 32 slots, ~12.2k at
 128 (the round-1 dense/blend design: 2.3k / 3.3k). ``kv_int8`` stores int8
-pages + per-token scales: ~4% slower at short contexts but HALF the cache
-HBM — the capacity option for many slots x long contexts (128 slots x 4096
-events: 6.7 GB instead of 12.9 GB).
+pages + per-token scales: HALF the cache HBM, and with the streaming
+kernel it now also edges out bf16 at 128 slots (18.8k vs 18.1k ev/s) —
+the capacity option for many slots x long contexts (128 slots x 4096
+events: 6.7 GB instead of 12.9 GB). On a 128 MB-VMEM chip it needs
+>64 slots: at small slot counts the int8 program's extra buffers tip the
+shared scoped-vmem budget (the fused token-row kernel keeps ~110 MB of
+weights double-buffered) ~6 MB past capacity.
 Note: this container's remote compiler crashes on exactly-64-slot programs —
 use 32 or 128 slots; chunk size is free.
 """
