@@ -182,13 +182,17 @@ def token_row_scan(params, config: MIDIModelConfig, hidden: jax.Array, masks,
 
 def decode_token_row_any(params, config: MIDIModelConfig, hidden: jax.Array,
                          masks, temp, top_p, top_k, key, greedy: bool,
-                         forced_pad: Optional[jax.Array] = None):
+                         forced_pad: Optional[jax.Array] = None,
+                         kernel_ok: bool = True):
     """Token-row decode with backend dispatch: the fused VMEM-resident Pallas
     kernel on TPU/bf16 (ops/token_loop.py, ~4x the XLA scan at bs=32), the
-    XLA scan elsewhere."""
+    XLA scan elsewhere.  ``kernel_ok=False`` forces the scan — the aligned
+    decode loop uses it above 64 rows, where the kernel's ~110 MB VMEM
+    footprint doesn't fit next to that program's other buffers and its
+    weight-reuse advantage has amortized away anyway."""
     from ..ops import token_loop
 
-    if token_loop.usable(params, config):
+    if kernel_ok and token_loop.usable(params, config):
         return token_loop.decode_token_row(
             params, config, hidden, masks, temp, top_p, top_k, key,
             greedy=greedy, forced_pad=forced_pad)
@@ -201,7 +205,8 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
     """Sample one full row (8 tokens) and advance the event cache."""
     b = state.hidden.shape[0]
     row, ended = decode_token_row_any(params, config, state.hidden, masks,
-                                      temp, top_p, top_k, key, greedy)
+                                      temp, top_p, top_k, key, greedy,
+                                      kernel_ok=b <= 64)
 
     # Feed the sampled row through the event net (conditions the next event).
     emb = midinet.embed_events(params, row[:, None, :])
