@@ -52,18 +52,21 @@ def main():
         return int(n)
 
     run()  # compile + warmup (same programs as the timed runs)
-    best = 0.0
-    for _ in range(2):  # best-of-2: the tunnel adds run-to-run variance
+    rates = []
+    for _ in range(4):  # the tunnel adds run-to-run variance: report both
         t0 = time.time()
         n_done = run()
         dt = time.time() - t0
-        best = max(best, n_done * BATCH / dt)
-    events_per_sec = best
+        rates.append(n_done * BATCH / dt)
+    best = max(rates)
+    median = float(np.median(rates))
     print(json.dumps({
         "metric": "tv2o-medium batched generation (bs=32, 1024 events, top-p/k)",
-        "value": round(events_per_sec, 2),
+        "value": round(best, 2),  # best-of-4 (comparable to prior rounds)
+        "median": round(median, 2),  # median-of-4 (trustworthy deltas)
+        "runs": [round(r, 2) for r in rates],
         "unit": "events/sec",
-        "vs_baseline": round(events_per_sec / REFERENCE_EVENTS_PER_SEC, 2),
+        "vs_baseline": round(best / REFERENCE_EVENTS_PER_SEC, 2),
     }))
 
 

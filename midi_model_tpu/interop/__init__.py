@@ -5,6 +5,7 @@ from .torch_ckpt import (
     params_from_state_dict,
     save_safetensors,
     state_dict_from_params,
+    synthesize_state_dict,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "params_from_state_dict",
     "save_safetensors",
     "state_dict_from_params",
+    "synthesize_state_dict",
 ]

@@ -112,6 +112,31 @@ def state_dict_from_params(params: dict, config: MIDIModelConfig
     return out
 
 
+def synthesize_state_dict(layout, seed: int = 0) -> Dict[str, np.ndarray]:
+    """Deterministically synthesize a torch-layout state dict from a layout.
+
+    ``layout`` is a sequence of ``(name, shape)`` pairs (a model's state-dict
+    entries, in a fixed order).  One seeded ``np.random.default_rng`` fills
+    the entries in that order: norm weights get ``1 + 0.05*N(0,1)``, all
+    other weights ``0.02*N(0,1)`` (HF ``initializer_range``-scale), fp32.
+
+    Used by the genuine-reference parity oracle (tools/make_goldens.py
+    ``--reference-oracle``): the golden stores only the layout + seed + the
+    reference model's outputs, and the test reconstructs the identical
+    weights here — no multi-hundred-MB weight fixture, no torch dependency
+    at test time.
+    """
+    rng = np.random.default_rng(seed)
+    sd: Dict[str, np.ndarray] = {}
+    for name, shape in layout:
+        x = rng.standard_normal(tuple(shape)).astype(np.float32)
+        if "layernorm" in name or name.endswith("norm.weight"):
+            sd[name] = 1.0 + 0.05 * x
+        else:
+            sd[name] = 0.02 * x
+    return sd
+
+
 def save_safetensors(params: dict, config: MIDIModelConfig, path: str,
                      dtype=np.float32):
     """Write a reference-compatible .safetensors checkpoint."""

@@ -727,6 +727,25 @@ def _decode_tpu_stream(q_diag, pools: PagedPools, lengths, base_pages, write=Non
         _decode_kernel_stream, page_size=page_size, ppcb=ppcb,
         pages_per_slot=pages_per_slot, num_heads=num_heads,
         kv_heads=kv_heads, quantized=quantized, append=append, batch=b)
+    # Scoped vmem is a budget SHARED with neighboring kernels in the same
+    # program (the fused token-row kernel), so the limit must stay as tight
+    # as the actual demand allows — but it must also scale with batch and
+    # model width (a hardcoded MB split compiled only for the geometry it
+    # was tuned on).  Demand = VMEM scratch + VMEM-resident inputs/outputs
+    # (q_diag, o/m/l, fresh rows), plus ~4 MB for compiler temporaries
+    # (reproduces the measured-good 14/28 MB at the tuned tv2o geometries).
+    def _nbytes(shape, dtype):
+        try:
+            return int(np.prod(shape)) * jnp.dtype(dtype).itemsize
+        except TypeError:  # semaphore scratch: no data dtype, ~0 bytes
+            return 0
+
+    demand = sum(_nbytes(s.shape, s.dtype) for s in scratch
+                 if hasattr(s, "shape") and hasattr(s, "dtype"))
+    demand += _nbytes(q_diag.shape, q_diag.dtype)
+    demand += sum(_nbytes(x.shape, x.dtype) for x in news)
+    demand += sum(_nbytes(o.shape, o.dtype) for o in out_shape[:3])
+    vmem_limit = max(14 << 20, demand + (4 << 20))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -734,13 +753,7 @@ def _decode_tpu_stream(q_diag, pools: PagedPools, lengths, base_pages, write=Non
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # all-slot flash state + q_diag live in VMEM scratch; at >64
-            # slots that slightly exceeds the ~23 MB default scoped-vmem
-            # budget. Only raise the limit when needed — scoped vmem is a
-            # budget SHARED with neighboring kernels in the same program
-            # (the fused token-row kernel), so an over-large value here
-            # starves them.
-            vmem_limit_bytes=(28 if b > 64 else 14) * 1024 * 1024),
+            vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(*scalars, q_diag, *pool_arrays, *news)
     if not append:

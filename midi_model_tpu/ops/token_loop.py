@@ -103,39 +103,14 @@ def _sample(probs, g_step, work_ref, top_p, top_k, greedy: bool,
 
 
 def _token_row_kernel(temp_ref, topp_ref, topk_ref, hidden_ref,
-                      wq_in, wk_in, wv_in, wo_in, wg_in, wu_in, wd_in,
-                      ln_attn_ref, ln_mlp_ref, fnorm_ref, lm_in, emb_in,
+                      wq_ref, wk_ref, wv_ref, wo_ref, wg_ref, wu_ref, wd_ref,
+                      ln_attn_ref, ln_mlp_ref, fnorm_ref, lm_ref, emb_ref,
                       first_ref, steps_ref, pad_only_ref, cos_ref, sin_ref,
                       gumbel_ref, forced_ref,
-                      row_ref, ended_ref, work_ref, *rest,
+                      row_ref, ended_ref, work_ref,
                       n_layers: int, n_heads: int, kv_heads: int,
                       head_dim: int, t_max: int, n_events: int, eps: float,
-                      eos_id: int, k_cap: int, greedy: bool,
-                      fill_weights: bool):
-    if fill_weights:
-        # weights arrive in HBM (ANY) and are DMA'd ONCE into
-        # single-buffered VMEM scratch — the large-batch (batcher)
-        # configuration, where the VMEM-input variant does not fit
-        # alongside the paged decode kernel's scratch
-        (wq_ref, wk_ref, wv_ref, wo_ref, wg_ref, wu_ref, wd_ref,
-         lm_ref, emb_ref, wsem) = rest
-        fills = [
-            pltpu.make_async_copy(src, dst, wsem.at[i])
-            for i, (src, dst) in enumerate([
-                (wq_in, wq_ref), (wk_in, wk_ref), (wv_in, wv_ref),
-                (wo_in, wo_ref), (wg_in, wg_ref), (wu_in, wu_ref),
-                (wd_in, wd_ref), (lm_in, lm_ref), (emb_in, emb_ref),
-            ])
-        ]
-        for c in fills:
-            c.start()
-        for c in fills:
-            c.wait()
-    else:
-        (wq_ref, wk_ref, wv_ref, wo_ref, wg_ref, wu_ref, wd_ref,
-         lm_ref, emb_ref) = (wq_in, wk_in, wv_in, wo_in, wg_in, wu_in,
-                             wd_in, lm_in, emb_in)
-
+                      eos_id: int, k_cap: int, greedy: bool):
     b, d = hidden_ref.shape
     v = lm_ref.shape[-1]
     temp = temp_ref[0]
@@ -273,45 +248,32 @@ def decode_token_row(params: dict, config, hidden: jax.Array, masks,
               else forced_pad.astype(jnp.int32)[:, None])
 
     # VMEM-input weights: XLA's liveness analysis overlaps the input
-    # windows with the paged kernel's scratch. The retained ANY+manual-DMA
-    # variant (fill_weights) measured WORSE in every tried configuration —
-    # its scratch is live for the whole kernel, so the two kernels' vmem
-    # budgets sum past 128 MB.
-    fill_weights = False
+    # windows with the paged kernel's scratch.  (An ANY+manual-DMA variant
+    # that staged the weights through single-buffered scratch measured WORSE
+    # in every tried configuration — its scratch is live for the whole
+    # kernel, so the two kernels' vmem budgets sum past 128 MB — and was
+    # deleted.)
     kernel = functools.partial(
         _token_row_kernel,
         n_layers=tok_cfg.num_layers, n_heads=tok_cfg.num_heads,
         kv_heads=tok_cfg.kv_heads, head_dim=tok_cfg.head_dim, t_max=t_max,
         n_events=int(n_events), eps=tok_cfg.rms_norm_eps, eos_id=eos_id,
-        k_cap=K_CAP, greedy=greedy, fill_weights=fill_weights)
+        k_cap=K_CAP, greedy=greedy)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pl.ANY)
-    big = [lp["wq"], lp["wk"], lp["wv"], lp["wo"],
-           lp["w_gate"], lp["w_up"], lp["w_down"],
-           params["lm_head"], params["net_token"]["embed"]]
-    wspec = hbm if fill_weights else vmem
-    scratch = [pltpu.VMEM((b, vocab), jnp.float32)]
-    if fill_weights:
-        # at large batch the VMEM-input variant does not coexist with the
-        # paged kernel's per-slot flash state: route weights through ANY +
-        # one manual DMA into single-buffered scratch instead
-        scratch += [pltpu.VMEM(x.shape, dtype) for x in big] \
-            + [pltpu.SemaphoreType.DMA((9,))]
     row, ended = pl.pallas_call(
         kernel,
-        in_specs=([smem] * 3 + [vmem] + [wspec] * 7 + [vmem] * 3
-                  + [wspec] * 2 + [vmem] * 7),
+        in_specs=[smem] * 3 + [vmem] * 20,
         out_specs=[vmem, vmem],
         out_shape=[jax.ShapeDtypeStruct((b, t_max), jnp.int32),
                    jax.ShapeDtypeStruct((b, 1), jnp.int32)],
-        scratch_shapes=scratch,
+        scratch_shapes=[pltpu.VMEM((b, vocab), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             # measured demand with double-buffered VMEM weight inputs is
             # ~110 MB; the explicit limits of co-compiled Pallas kernels
             # can SUM in the program's vmem accounting, so keep this as
             # tight as the demand allows (the paged kernel reserves 14-28)
-            vmem_limit_bytes=(64 if fill_weights else 112) * 1024 * 1024),
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.asarray(temp, jnp.float32).reshape(1),

@@ -305,6 +305,12 @@ def generate(params, config: MIDIModelConfig, prompt: Optional[np.ndarray] = Non
     upfront and no cache-growth bucketing is needed (the round-1 bucketing
     machinery existed because the dense cache was read at its full static
     width every step).
+
+    Note on reproducibility: on TPU the sampling draw comes from the Pallas
+    Gumbel-argmax kernel — the same distribution as the XLA inverse-CDF
+    sampler used on other backends, but a different realized draw for the
+    same seed (see sampling/topk_topp.py ``use_kernel``).  Greedy decode is
+    backend-identical.
     """
     tokenizer = config.tokenizer
     prompt = normalize_prompt(tokenizer, prompt, batch_size)

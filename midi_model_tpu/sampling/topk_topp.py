@@ -30,15 +30,23 @@ K_CAP = 128  # ≥ the largest top_k the UI offers (reference slider max, app.py
 
 
 def sample_top_p_k(probs: jax.Array, top_p, top_k, key: jax.Array,
-                   k_cap: int = K_CAP) -> jax.Array:
+                   k_cap: int = K_CAP, use_kernel: bool = None) -> jax.Array:
     """probs: [..., V] (need not be normalized). Returns sampled ids [...].
 
     Only the top ``k_cap`` entries are materialized (a partial top-k, far
     cheaper than a full vocab sort on TPU); since the reference keeps at most
     ``top_k ≤ k_cap`` sorted entries anyway, results are identical to the
     full-sort formulation for any ``top_k ≤ k_cap``.
+
+    ``use_kernel`` selects the Pallas Gumbel-argmax kernel (default: on for
+    2-D inputs on TPU).  The kernel samples the SAME distribution as the XLA
+    path but realizes a different draw for a given PRNG key (Gumbel-argmax
+    vs inverse-CDF) — pass ``use_kernel=False`` to force the XLA sampler
+    when cross-backend draw reproducibility matters (parity/debug runs).
     """
-    if probs.ndim == 2 and jax.default_backend() == "tpu":
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if probs.ndim == 2 and use_kernel and jax.default_backend() == "tpu":
         from ..ops.sampler import sample_top_p_k_tpu
 
         return sample_top_p_k_tpu(probs, top_p, top_k, key, k_cap=k_cap)

@@ -31,12 +31,18 @@ tools/bench_batcher.py --steady): ~6.3k events/sec at 32 slots, ~12.2k at
 pages + per-token scales: HALF the cache HBM, and with the streaming
 kernel it now also edges out bf16 at 128 slots (18.8k vs 18.1k ev/s) —
 the capacity option for many slots x long contexts (128 slots x 4096
-events: 6.7 GB instead of 12.9 GB). On a 128 MB-VMEM chip it needs
->64 slots: at small slot counts the int8 program's extra buffers tip the
-shared scoped-vmem budget (the fused token-row kernel keeps ~110 MB of
-weights double-buffered) ~6 MB past capacity.
-Note: this container's remote compiler crashes on exactly-64-slot programs —
-use 32 or 128 slots; chunk size is free.
+events: 6.7 GB instead of 12.9 GB). At <=64 slots the int8 program's
+extra buffers tip the shared 128 MB scoped-vmem budget next to the fused
+token-row kernel's ~110 MB of VMEM-resident weights, so the batcher
+automatically drops the token row to the XLA scan there (slower, never a
+compile failure).
+
+Sampling draws on TPU come from the Pallas Gumbel-argmax kernel: the same
+distribution as the XLA inverse-CDF sampler, but a different realized draw
+for a given PRNG key (see sampling/topk_topp.py ``use_kernel``).
+
+n_slots=64 is fenced at construction: this environment's remote TPU
+compiler crashes on exactly-64-slot programs (tools/repro_64slot_crash.py).
 """
 
 from __future__ import annotations
@@ -149,10 +155,10 @@ def _splice_slot(slot, p_len, pools, hidden_all, index_all,
 
 @functools.partial(jax.jit, donate_argnums=(2,),
                    static_argnames=("config", "chunk", "greedy", "page_size",
-                                    "pages_per_slot"))
+                                    "pages_per_slot", "token_kernel_ok"))
 def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
           top_k, key, chunk: int, greedy: bool = False, *, page_size: int,
-          pages_per_slot: int):
+          pages_per_slot: int, token_kernel_ok: bool = True):
     """Decode ``chunk`` events for all slots (one dispatch).
 
     carry = (pools, index [B], hidden [B, D]).
@@ -174,7 +180,7 @@ def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
         pools, index, hidden, alive = carry
         row, _ended = decode_token_row_any(
             params, config, hidden, masks, temp, top_p, top_k, ev_key,
-            greedy, forced_pad=~alive)
+            greedy, forced_pad=~alive, kernel_ok=token_kernel_ok)
 
         emb = midinet.embed_events(params, row[:, None, :])[:, 0]
         h, pools = llama.decode_paged(
@@ -200,12 +206,29 @@ class ContinuousBatcher:
                  top_p: float = 0.98, top_k: int = 20, seed: int = 0,
                  disable_eos: bool = False, greedy: bool = False,
                  page_size: int = 64, kv_int8: bool = False):
+        import os
+
+        if (n_slots == 64 and jax.default_backend() == "tpu"
+                and not os.environ.get("MIDI_TPU_ALLOW_64_SLOTS")):
+            # This container's remote TPU compiler crashes on exactly-64-slot
+            # batcher programs (minimal repro: tools/repro_64slot_crash.py).
+            # Fence it at construction instead of letting users hit an opaque
+            # compiler crash deep in the first step().
+            raise ValueError(
+                "n_slots=64 crashes this environment's TPU compiler "
+                "(tools/repro_64slot_crash.py); use 32, 96 or 128 slots, or "
+                "set MIDI_TPU_ALLOW_64_SLOTS=1 to try anyway.")
         self.greedy = greedy
         self.params = params
         self.config = config
         self.tokenizer = config.tokenizer
         self.n_slots = n_slots
         self.page_size = page_size
+        # kv_int8 at <=64 slots: the int8 program's extra buffers tip the
+        # shared 128 MB scoped-vmem budget when the fused token-row kernel
+        # (weights VMEM-resident, ~110 MB) co-compiles — degrade to the XLA
+        # token-row scan automatically instead of failing compilation.
+        self._token_kernel_ok = not (kv_int8 and n_slots <= 64)
         # whole 4-page kernel compute blocks (a non-multiple forces one-page
         # DMAs in the paged kernel — measured 1.5-1.7x slower)
         block = 4 * page_size
@@ -296,7 +319,8 @@ class ContinuousBatcher:
                             jnp.asarray(self._active), self.temp, self.top_p,
                             self.top_k, sub, self.chunk, self.greedy,
                             page_size=self.page_size,
-                            pages_per_slot=self.pages_per_slot)
+                            pages_per_slot=self.pages_per_slot,
+                            token_kernel_ok=self._token_kernel_ok)
         (self._pools, self._index, self._hidden) = carry
         rows = np.asarray(rows)  # [B, chunk, T]
         # one host fetch for all slots: indexing the device array per slot

@@ -82,3 +82,39 @@ def test_slot_reuse_after_finish(setup):
     res2 = batcher.run_all()
     assert r2 in res2
     assert not batcher.any_active
+
+
+def test_kv_int8_small_slots_degrades_to_scan(setup):
+    """kv_int8 at <=64 slots must never be a compile failure: the batcher
+    drops the fused token-row kernel to the XLA scan automatically (VERDICT
+    round 2 #5) and still produces correct streams."""
+    cfg, params = setup
+    tok = cfg.tokenizer
+    batcher = ContinuousBatcher(params, cfg, n_slots=32, max_seq=64, chunk=2,
+                                greedy=True, kv_int8=True)
+    assert not batcher._token_kernel_ok
+    # above the vmem cliff the kernel stays on
+    big = ContinuousBatcher(params, cfg, n_slots=96, max_seq=64, chunk=2,
+                            kv_int8=True)
+    assert big._token_kernel_ok
+    # bf16 pools keep the kernel at any slot count
+    bf16 = ContinuousBatcher(params, cfg, n_slots=32, max_seq=64, chunk=2)
+    assert bf16._token_kernel_ok
+
+    rid = batcher.submit(bos_prompt(tok), max_events=4)
+    results = batcher.run_all()
+    assert rid in results and len(results[rid].rows) <= 4
+    for row in results[rid].rows:
+        ev = tok.tokens2event(list(row))
+        assert ev or row[0] in (tok.pad_id, tok.eos_id)
+
+
+def test_64_slot_fence(setup, monkeypatch):
+    """n_slots=64 crashes this environment's TPU compiler: fenced with an
+    actionable error at construction (repro: tools/repro_64slot_crash.py)."""
+    cfg, params = setup
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="repro_64slot_crash"):
+        ContinuousBatcher(params, cfg, n_slots=64, max_seq=64)
+    monkeypatch.setenv("MIDI_TPU_ALLOW_64_SLOTS", "1")
+    ContinuousBatcher(params, cfg, n_slots=64, max_seq=64)  # escape hatch

@@ -39,7 +39,7 @@ def run(batch, name="tv2o-medium", kv_int8=False):
         n = int(n)
         best = max(best, n / (time.time() - t0))
     dt = n / best
-    print(f"{name}{" int8" if kv_int8 else ""} bs={batch}: {n} events in {dt:.1f}s -> "
+    print(f"{name}{' int8' if kv_int8 else ''} bs={batch}: {n} events in {dt:.1f}s -> "
           f"{n * batch / dt:,.0f} events/sec", flush=True)
 
 

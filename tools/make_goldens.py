@@ -275,20 +275,6 @@ def main():
           f"{len(tok_goldens)} tokenizer configs -> {OUT_DIR}")
 
 
-if __name__ == "__main__":
-    import argparse
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", default="",
-                    help="hub repo id or local .safetensors of the pretrained "
-                         "model; captures north-star parity goldens")
-    args = ap.parse_args()
-    if args.checkpoint:
-        make_checkpoint_golden(args.checkpoint)
-    else:
-        main()
-
-
 def make_checkpoint_golden(ckpt: str):
     """Capture pretrained-checkpoint goldens (north-star parity).
 
@@ -339,3 +325,77 @@ def make_checkpoint_golden(ckpt: str):
     with open(out, "wb") as f:
         pickle.dump(golden, f)
     print(f"wrote {out}")
+
+
+def make_reference_oracle_golden(seed: int = 20260817, max_len: int = 48,
+                                 batch: int = 2):
+    """Capture the GENUINE reference model's greedy generation as a golden.
+
+    The pretrained-checkpoint north star is blocked by zero egress
+    (BASELINE.md), and asserting parity against a hand-written replica risks
+    the replica sharing a misreading with the implementation under test.
+    This oracle runs the reference's OWN ``MIDIModel.generate``
+    (/root/reference/midi_model.py:99-250) at the real tv2o-medium scale with
+    deterministic synthetic weights and records its outputs.
+
+    The golden stores only the state-dict LAYOUT (names + shapes) and the
+    seed — both sides synthesize identical weights via
+    ``interop.synthesize_state_dict`` — plus fp32 logits on a fixed prompt
+    and the greedy (top_k=1) decode.  tests/test_generate.py asserts our
+    fused decode matches token-for-token.
+    """
+    import numpy as np
+    import torch
+    from midi_model import MIDIModel, MIDIModelConfig  # reference
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from midi_model_tpu.interop import synthesize_state_dict
+
+    config = MIDIModelConfig.from_name("tv2o-medium")
+    model = MIDIModel(config).float().eval()
+    layout = [(k, tuple(v.shape)) for k, v in model.state_dict().items()]
+    sd = synthesize_state_dict(layout, seed)
+    model.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
+
+    tokenizer = model.tokenizer
+    prompt = np.full((1, 1, tokenizer.max_token_seq), tokenizer.pad_id,
+                     dtype=np.int64)
+    prompt[0, 0, 0] = tokenizer.bos_id
+    with torch.no_grad():
+        hidden = model.forward(torch.from_numpy(prompt))
+        logits = model.forward_token(hidden[:, -1])
+        # top_k=1 keeps only the argmax -> deterministic greedy decode
+        decode = model.generate(prompt[0], batch_size=batch, max_len=max_len,
+                                temp=1.0, top_p=1.0, top_k=1)
+    golden = {
+        "config": "tv2o-medium",
+        "seed": seed,
+        "layout": layout,
+        "prompt": prompt,
+        "logits": np.asarray(logits),
+        "greedy": np.asarray(decode),
+    }
+    out = OUT_DIR / "reference_oracle.pkl"
+    with open(out, "wb") as f:
+        pickle.dump(golden, f)
+    print(f"wrote {out} (greedy decode shape {golden['greedy'].shape})")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="",
+                    help="hub repo id or local .safetensors of the pretrained "
+                         "model; captures north-star parity goldens")
+    ap.add_argument("--reference-oracle", action="store_true",
+                    help="capture the genuine-reference generation oracle "
+                         "(tv2o-medium, seeded synthetic weights; no hub "
+                         "access needed)")
+    args = ap.parse_args()
+    if args.checkpoint:
+        make_checkpoint_golden(args.checkpoint)
+    elif args.reference_oracle:
+        make_reference_oracle_golden()
+    else:
+        main()
