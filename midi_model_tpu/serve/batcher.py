@@ -105,9 +105,7 @@ def _prefill_request(params, config: MIDIModelConfig, prompt: jax.Array,
     return cache.k, cache.v, h_last
 
 
-@functools.partial(jax.jit, donate_argnums=(2,),
-                   static_argnames=("page_size", "pages_per_slot", "n_slots"))
-def _splice_slot(slot, p_len, pools, hidden_all, index_all,
+def _splice_impl(slot, mine, p_len, pools, hidden_all, index_all,
                  pre_k, pre_v, h_last, *, page_size: int, pages_per_slot: int,
                  n_slots: int):
     """Install a prefilled request into slot ``slot``'s page range.
@@ -117,6 +115,11 @@ def _splice_slot(slot, p_len, pools, hidden_all, index_all,
     [L, bucket/ps, ps, Hkv*LANE] (quantized to int8 pages + scales when the
     pools are) and written with one dynamic-update-slice per layer at the
     slot's (layer-folded) page base.
+
+    ``mine`` (traced bool): when False the update is a no-op — the sharded
+    batcher runs this on every data shard with only the owning shard's
+    ``mine`` true (``slot`` is then the shard-local slot index, already
+    clamped into range).
     """
     from ..ops.paged_allheads import combine_scales, pack_heads, quantize_packed
 
@@ -138,27 +141,39 @@ def _splice_slot(slot, p_len, pools, hidden_all, index_all,
     def body(carry, pre):
         pools, li = carry
         base = (li * n_slots + slot) * pages_per_slot
-        updated = {
-            name: jax.lax.dynamic_update_slice(
-                getattr(pools, name), pre[name].astype(getattr(pools, name).dtype),
-                (base, 0, 0))
-            for name in planes
-        }
+        updated = {}
+        for name in planes:
+            buf = getattr(pools, name)
+            new = pre[name].astype(buf.dtype)
+            cur = jax.lax.dynamic_slice(buf, (base, 0, 0), new.shape)
+            new = jnp.where(mine, new, cur)
+            updated[name] = jax.lax.dynamic_update_slice(buf, new, (base, 0, 0))
         return (pools._replace(**updated), li + 1), None
 
     (pools, _), _ = jax.lax.scan(
         body, (pools, jnp.zeros((), jnp.int32)), planes)
-    hidden_all = hidden_all.at[slot].set(h_last)
-    index_all = index_all.at[slot].set(p_len)
+    hidden_all = hidden_all.at[slot].set(
+        jnp.where(mine, h_last, hidden_all[slot]))
+    index_all = index_all.at[slot].set(
+        jnp.where(mine, p_len, index_all[slot]))
     return pools, hidden_all, index_all
 
 
 @functools.partial(jax.jit, donate_argnums=(2,),
-                   static_argnames=("config", "chunk", "greedy", "page_size",
-                                    "pages_per_slot", "token_kernel_ok"))
-def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
-          top_k, key, chunk: int, greedy: bool = False, *, page_size: int,
-          pages_per_slot: int, token_kernel_ok: bool = True):
+                   static_argnames=("page_size", "pages_per_slot", "n_slots"))
+def _splice_slot(slot, p_len, pools, hidden_all, index_all,
+                 pre_k, pre_v, h_last, *, page_size: int, pages_per_slot: int,
+                 n_slots: int):
+    """Single-chip splice (see :func:`_splice_impl`)."""
+    return _splice_impl(slot, True, p_len, pools, hidden_all, index_all,
+                        pre_k, pre_v, h_last, page_size=page_size,
+                        pages_per_slot=pages_per_slot, n_slots=n_slots)
+
+
+def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
+               top_p, top_k, key, chunk: int, greedy: bool = False, *,
+               page_size: int, pages_per_slot: int,
+               token_kernel_ok: bool = True):
     """Decode ``chunk`` events for all slots (one dispatch).
 
     carry = (pools, index [B], hidden [B, D]).
@@ -200,22 +215,109 @@ def _step(params, config: MIDIModelConfig, carry, masks, active, temp, top_p,
     return (pools, index, hidden), jnp.transpose(rows, (1, 0, 2))
 
 
+_step = functools.partial(jax.jit, donate_argnums=(2,),
+                          static_argnames=("config", "chunk", "greedy",
+                                           "page_size", "pages_per_slot",
+                                           "token_kernel_ok"))(_step_impl)
+
+
+def _pool_specs(quantized: bool):
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.paged_allheads import PagedPools
+    from ..parallel.mesh import DATA_AXIS
+
+    return PagedPools(k=P(DATA_AXIS), v=P(DATA_AXIS),
+                      scales=P(DATA_AXIS) if quantized else None)
+
+
+def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
+                 greedy: bool, page_size: int, pages_per_slot: int,
+                 token_kernel_ok: bool, local_slots: int):
+    """Build the jitted shard_map'd (step, splice) pair for a data-sharded
+    batcher: slots are partitioned over the mesh's ``data`` axis and every
+    shard runs the full single-chip decode program on its local slots — zero
+    cross-device traffic in the loop (same scale-out story as
+    sampling/sharded.py, which shard_maps only the *aligned* generate).
+
+    The PRNG key is folded with the shard index so slot streams on different
+    shards are decorrelated; greedy decode is bit-identical to the
+    single-chip batcher slot-for-slot (tests/test_batcher_dp.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+    from ..sampling.sharded import shard_map
+
+    pool_spec = _pool_specs(quantized)
+    carry_spec = (pool_spec, P(DATA_AXIS), P(DATA_AXIS))
+    mask_spec = (P(), P(), P())
+
+    def step_local(params, carry, masks, active, temp, top_p, top_k, key):
+        idx = jax.lax.axis_index(DATA_AXIS)
+        return _step_impl(params, config, carry, masks, active, temp, top_p,
+                          top_k, jax.random.fold_in(key, idx), chunk, greedy,
+                          page_size=page_size, pages_per_slot=pages_per_slot,
+                          token_kernel_ok=token_kernel_ok)
+
+    step_dp = jax.jit(
+        shard_map(step_local, mesh=mesh,
+                  in_specs=(P(), carry_spec, mask_spec, P(DATA_AXIS),
+                            P(), P(), P(), P()),
+                  out_specs=(carry_spec, P(DATA_AXIS))),
+        donate_argnums=(1,))
+
+    def splice_local(slot, p_len, pools, hidden_all, index_all,
+                     pre_k, pre_v, h_last):
+        idx = jax.lax.axis_index(DATA_AXIS)
+        rel = slot - idx * local_slots
+        mine = (rel >= 0) & (rel < local_slots)
+        rel = jnp.clip(rel, 0, local_slots - 1)
+        return _splice_impl(rel, mine, p_len, pools, hidden_all, index_all,
+                            pre_k, pre_v, h_last, page_size=page_size,
+                            pages_per_slot=pages_per_slot,
+                            n_slots=local_slots)
+
+    splice_dp = jax.jit(
+        shard_map(splice_local, mesh=mesh,
+                  in_specs=(P(), P(), carry_spec[0], P(DATA_AXIS),
+                            P(DATA_AXIS), P(), P(), P()),
+                  out_specs=(carry_spec[0], P(DATA_AXIS), P(DATA_AXIS))),
+        donate_argnums=(2,))
+
+    return step_dp, splice_dp
+
+
 class ContinuousBatcher:
     def __init__(self, params, config: MIDIModelConfig, n_slots: int = 8,
                  max_seq: int = 4096, chunk: int = 16, temp: float = 1.0,
                  top_p: float = 0.98, top_k: int = 20, seed: int = 0,
                  disable_eos: bool = False, greedy: bool = False,
-                 page_size: int = 64, kv_int8: bool = False):
+                 page_size: int = 64, kv_int8: bool = False, mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis shards the
+        ``n_slots`` slots over its data dimension — every chip runs the full
+        decode stack on its local slots with zero in-loop collectives, so
+        throughput scales as chips × the single-chip numbers.  The host-side
+        API (submit/step/run_all) is unchanged; ``n_slots`` must divide by
+        the data-axis size."""
         import os
 
-        if (n_slots == 64 and jax.default_backend() == "tpu"
+        from ..parallel.mesh import DATA_AXIS
+
+        self.mesh = mesh
+        dp = int(mesh.shape[DATA_AXIS]) if mesh is not None else 1
+        if n_slots % dp:
+            raise ValueError(f"n_slots={n_slots} not divisible by the mesh's "
+                             f"data axis size {dp}")
+        local_slots = n_slots // dp
+        if (local_slots == 64 and jax.default_backend() == "tpu"
                 and not os.environ.get("MIDI_TPU_ALLOW_64_SLOTS")):
             # This container's remote TPU compiler crashes on exactly-64-slot
             # batcher programs (minimal repro: tools/repro_64slot_crash.py).
             # Fence it at construction instead of letting users hit an opaque
             # compiler crash deep in the first step().
             raise ValueError(
-                "n_slots=64 crashes this environment's TPU compiler "
+                "64 slots per chip crashes this environment's TPU compiler "
                 "(tools/repro_64slot_crash.py); use 32, 96 or 128 slots, or "
                 "set MIDI_TPU_ALLOW_64_SLOTS=1 to try anyway.")
         self.greedy = greedy
@@ -223,12 +325,13 @@ class ContinuousBatcher:
         self.config = config
         self.tokenizer = config.tokenizer
         self.n_slots = n_slots
+        self.local_slots = local_slots
         self.page_size = page_size
-        # kv_int8 at <=64 slots: the int8 program's extra buffers tip the
-        # shared 128 MB scoped-vmem budget when the fused token-row kernel
-        # (weights VMEM-resident, ~110 MB) co-compiles — degrade to the XLA
-        # token-row scan automatically instead of failing compilation.
-        self._token_kernel_ok = not (kv_int8 and n_slots <= 64)
+        # kv_int8 at <=64 slots per chip: the int8 program's extra buffers
+        # tip the shared 128 MB scoped-vmem budget when the fused token-row
+        # kernel (weights VMEM-resident, ~110 MB) co-compiles — degrade to
+        # the XLA token-row scan automatically instead of failing compilation.
+        self._token_kernel_ok = not (kv_int8 and local_slots <= 64)
         # whole 4-page kernel compute blocks (a non-multiple forces one-page
         # DMAs in the paged kernel — measured 1.5-1.7x slower)
         block = 4 * page_size
@@ -250,6 +353,20 @@ class ContinuousBatcher:
             quantized=kv_int8)
         self._index = jnp.zeros((n_slots,), jnp.int32)
         self._hidden = jnp.zeros((n_slots, config.n_embd), dtype)
+        if mesh is not None:
+            # shard every slot-indexed buffer over the data axis; the pool
+            # page axis is (layer*local_slots + local_slot)-major PER SHARD,
+            # so the global page index means nothing off-device — only the
+            # shard_map'd programs below ever index it.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(mesh, P(DATA_AXIS))
+            self._pools = jax.tree.map(
+                lambda x: jax.device_put(x, shard), self._pools)
+            self._index = jax.device_put(self._index, shard)
+            self._hidden = jax.device_put(self._hidden, shard)
+            self._step_dp, self._splice_dp = _make_dp_fns(
+                mesh, kv_int8, config, chunk, greedy, page_size,
+                self.pages_per_slot, self._token_kernel_ok, local_slots)
         self._active = np.zeros((n_slots,), bool)
         self.slots = [_Slot() for _ in range(n_slots)]
         self.queue: List[tuple] = []
@@ -288,11 +405,16 @@ class ContinuousBatcher:
         pre_k, pre_v, h_last = _prefill_request(
             self.params, self.config, jnp.asarray(padded),
             jnp.asarray(p_len, jnp.int32), bucket)
-        (self._pools, self._hidden, self._index) = _splice_slot(
-            jnp.asarray(slot, jnp.int32), jnp.asarray(p_len, jnp.int32),
-            self._pools, self._hidden, self._index,
-            pre_k, pre_v, h_last, page_size=ps,
-            pages_per_slot=self.pages_per_slot, n_slots=self.n_slots)
+        if self.mesh is not None:
+            (self._pools, self._hidden, self._index) = self._splice_dp(
+                jnp.asarray(slot, jnp.int32), jnp.asarray(p_len, jnp.int32),
+                self._pools, self._hidden, self._index, pre_k, pre_v, h_last)
+        else:
+            (self._pools, self._hidden, self._index) = _splice_slot(
+                jnp.asarray(slot, jnp.int32), jnp.asarray(p_len, jnp.int32),
+                self._pools, self._hidden, self._index,
+                pre_k, pre_v, h_last, page_size=ps,
+                pages_per_slot=self.pages_per_slot, n_slots=self.n_slots)
         s = self.slots[slot]
         s.request_id = rid
         s.active = True
@@ -315,12 +437,17 @@ class ContinuousBatcher:
                 return []
         self._key, sub = jax.random.split(self._key)
         carry = (self._pools, self._index, self._hidden)
-        carry, rows = _step(self.params, self.config, carry, self.masks,
-                            jnp.asarray(self._active), self.temp, self.top_p,
-                            self.top_k, sub, self.chunk, self.greedy,
-                            page_size=self.page_size,
-                            pages_per_slot=self.pages_per_slot,
-                            token_kernel_ok=self._token_kernel_ok)
+        if self.mesh is not None:
+            carry, rows = self._step_dp(self.params, carry, self.masks,
+                                        jnp.asarray(self._active), self.temp,
+                                        self.top_p, self.top_k, sub)
+        else:
+            carry, rows = _step(self.params, self.config, carry, self.masks,
+                                jnp.asarray(self._active), self.temp,
+                                self.top_p, self.top_k, sub, self.chunk,
+                                self.greedy, page_size=self.page_size,
+                                pages_per_slot=self.pages_per_slot,
+                                token_kernel_ok=self._token_kernel_ok)
         (self._pools, self._index, self._hidden) = carry
         rows = np.asarray(rows)  # [B, chunk, T]
         # one host fetch for all slots: indexing the device array per slot
