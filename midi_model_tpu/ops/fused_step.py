@@ -1,0 +1,440 @@
+"""Fused event-net decode step: all layers, one kernel dispatch.
+
+The aligned decode's event-net step (models/llama.py ``decode_paged``) runs
+~7 XLA matmul fusions + one Pallas attention kernel per layer, 12 layers per
+event.  Measured at bs=32 the pure weight stream alone runs at ~44% of HBM
+peak (tools/perf_event_net.py): every op boundary restarts the HBM pipeline,
+and XLA cannot prefetch layer ``i+1``'s weights across the ``lax.scan``
+iteration boundary while layer ``i`` computes.
+
+This kernel runs the ENTIRE step — rmsnorm, fused qkv, RoPE, paged flash
+attention over the KV pools (with the fresh row's self-term merged
+analytically and the row appended in-kernel by an 8-row RMW tile), o-proj,
+and the SwiGLU MLP — as ONE ``pallas_call`` with ``grid=(num_layers,)``:
+
+- per-layer weights arrive through blocked ``BlockSpec``s indexed by the
+  layer grid axis, so Pallas DOUBLE-BUFFERS them: layer ``i+1``'s ~33.5 MB
+  (tv2o geometry) streams from HBM while layer ``i`` computes — the weight
+  stream never stops at op or layer boundaries;
+- the cache pages stream through the same flat slot-major double-buffered
+  DMA chain as ``paged_allheads._decode_kernel_stream`` (work tables
+  prefetched; per-layer page bases computed in-kernel from ``program_id``);
+- the residual stream lives in VMEM scratch across grid steps (bf16, exactly
+  the ``decode_paged`` dtype discipline);
+- RoPE's rotate-half is ONE MXU matmul with a per-head ±1 permutation
+  matrix (a lane shuffle expressed the TPU-native way);
+- attention scores avoid the block-diagonal q operand (built in XLA for the
+  standalone kernel, unbuildable in-kernel without a transpose): with one
+  query row per slot, ``scores = (k_blk ⊙ q_row) @ G`` where ``G[w, h] = 1``
+  iff lane ``w`` belongs to head ``h`` — the f32 products are bit-identical
+  to the standalone kernel's ``k_blk @ q_diag`` (same factors, same
+  contraction positions).
+
+Numerics mirror ``decode_paged`` step for step (bf16 matmul results, f32
+norm/rope/softmax/merge); parity is asserted against it in
+``tests/test_fused_step.py`` (interpret mode).
+
+Restrictions (the shipped model family satisfies all): MHA only
+(``kv_heads == num_heads``), ``head_stride == head_dim`` (lane-aligned
+packed pages), bf16 weights and pools (int8 pools keep the split path).
+
+Reference capability: the torch generate loop's per-layer module calls
+(/root/reference/midi_model.py:99-135) — re-architected as a single
+resident-pipeline kernel, which a CUDA/torch translation could not express.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .paged_allheads import RMW_ROWS, PagedPools, head_stride
+
+LANE = 128
+
+# Slack added to the computed weight/scratch demand in the kernel's explicit
+# vmem limit, for Mosaic compiler temporaries.  The explicit limit is
+# RESERVED against the program's shared scoped-VMEM pool even while the
+# co-compiled token-row kernel runs, so it must stay tight: 16 MB starves
+# the token-row kernel by 2.23 MB at bs=32; 8 MB fits both with margin
+# (measured on the live compiler via tools/probe_vmem.py).
+_SLACK_BYTES = 8 << 20
+
+
+def _mm(a, b):
+    """bf16 matmul, f32 MXU accumulate, result in the input dtype (the XLA
+    ``a @ b`` contract on TPU)."""
+    return jax.lax.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+def _rms_norm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return w * xf.astype(x.dtype)
+
+
+def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
+        lengths_ref, slot_tbl_ref, blk_tbl_ref, total_ref, wpos_ref,
+        x0_ref, wqkv_ref, wo_ref, wgu_ref, wd_ref, ln_ref, cos_ref, sin_ref,
+        k_pool_ref, v_pool_ref,
+        xout_ref, k_out_ref, v_out_ref,
+        xs_ref, kbuf, vbuf, sems, kwbuf, vwbuf, wsem,
+        *, batch: int, num_heads: int, head_dim: int, hidden: int,
+        inter: int, page_size: int, ppcb: int, pages_per_slot: int,
+        n_layers: int, eps: float):
+    b, d = batch, hidden
+    w = k_pool_ref.shape[-1]  # == num_heads * head_dim
+    f = inter
+    li = pl.program_id(0)
+    dtype = wqkv_ref.dtype
+    scale = head_dim ** -0.5
+    bk = ppcb * page_size
+
+    @pl.when(li == 0)
+    def _():
+        xs_ref[...] = x0_ref[...]
+
+    x = xs_ref[...]  # [B, D] bf16 residual stream
+
+    # ---- qkv + RoPE ------------------------------------------------------
+    h = _rms_norm(x, ln_ref[0, 0:1], eps)
+    qkv = _mm(h, wqkv_ref[0])  # [B, 3W]
+    q = qkv[:, :w]
+    k = qkv[:, w:2 * w]
+    v = qkv[:, 2 * w:]
+    cos = cos_ref[...]  # [B, W] f32 (per-head tiled)
+    sin = sin_ref[...]
+    # per-head rotate-half via two whole-row lane rolls + a select: for
+    # lane j in head h, rot(x)[j] = -x[j+half] (first half-block) or
+    # x[j-half] (second); a global roll by ±half never crosses a head
+    # boundary for the lanes each branch keeps.  Exact ±x values — bit-
+    # identical to a ±1 permutation matmul, with no [W, W] temporaries
+    # (the rmat + its iota scaffolding cost ~10 MB of scoped VMEM, which
+    # the co-compiled token-row kernel needs).
+    half = head_dim // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    first_half = jax.lax.rem(lane, head_dim) < half
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        return jnp.where(first_half, -pltpu.roll(xf, shift=w - half, axis=1),
+                         pltpu.roll(xf, shift=half, axis=1))
+
+    qr = (q.astype(jnp.float32) * cos + rot(q) * sin).astype(dtype)
+    kr = (k.astype(jnp.float32) * cos + rot(k) * sin).astype(dtype)
+    # pre-scaled query: f32 for the self term, bf16 for the cache scores
+    # (build_q_diag's cast in the standalone path)
+    qs32 = qr.astype(jnp.float32) * scale
+    qsb = qs32.astype(dtype)
+
+    # ---- fresh-row RMW append: start the tile reads now ------------------
+    def wtile(ref, s):
+        wp = wpos_ref[s]
+        page = (li * batch + s) * pages_per_slot + wp // page_size
+        wbase = pl.multiple_of((wp % page_size) // RMW_ROWS * RMW_ROWS,
+                               RMW_ROWS)
+        return ref.at[page, pl.ds(wbase, RMW_ROWS)]
+
+    for s in range(b):
+        pltpu.make_async_copy(wtile(k_out_ref, s), kwbuf.at[s],
+                              wsem.at[s, 0]).start()
+        pltpu.make_async_copy(wtile(v_out_ref, s), vwbuf.at[s],
+                              wsem.at[s, 1]).start()
+
+    # ---- paged flash attention over the cached history -------------------
+    # The slot loop is STATICALLY UNROLLED (batch is a compile-time
+    # constant): per-slot rows are static register slices, so no dynamic
+    # sublane indexing exists anywhere (Mosaic requires provable 8-row
+    # alignment for those), and the flash state never leaves registers.
+    total = total_ref[0]
+
+    def copy_block(i, slot):
+        s = slot_tbl_ref[i]
+        start = (li * batch + s) * pages_per_slot + blk_tbl_ref[i] * ppcb
+        pltpu.make_async_copy(k_pool_ref.at[pl.ds(start, ppcb)],
+                              kbuf.at[slot], sems.at[slot, 0]).start()
+        pltpu.make_async_copy(v_pool_ref.at[pl.ds(start, ppcb)],
+                              vbuf.at[slot], sems.at[slot, 1]).start()
+
+    def wait_block(slot):
+        pltpu.make_async_copy(k_pool_ref.at[pl.ds(0, ppcb)], kbuf.at[slot],
+                              sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(v_pool_ref.at[pl.ds(0, ppcb)], vbuf.at[slot],
+                              sems.at[slot, 1]).wait()
+
+    # G[w, h] = 1 iff lane w belongs to head h (MHA: head = w // head_dim)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (w, num_heads), 0)
+    head_w = jax.lax.broadcasted_iota(jnp.int32, (w, num_heads), 1)
+    gmask32 = (lane_w // head_dim == head_w).astype(jnp.float32)
+    gt32 = (jax.lax.broadcasted_iota(jnp.int32, (num_heads, w), 1)
+            // head_dim
+            == jax.lax.broadcasted_iota(jnp.int32, (num_heads, w), 0)
+            ).astype(jnp.float32)  # [H, W]
+
+    @pl.when(total > 0)
+    def _():
+        copy_block(0, 0)
+
+    i0 = jnp.zeros((), jnp.int32)
+    attn_rows = []
+    for s in range(b):
+        length = lengths_ref[s]
+        n_b = (length + bk - 1) // bk
+        q_row32 = qs32[s:s + 1, :]  # [1, W] f32 (pre-scaled)
+        q_rowb = qsb[s:s + 1, :].astype(jnp.float32)  # bf16-rounded, f32
+
+        def blk_loop(j, carry, i0=i0, length=length, q_rowb=q_rowb):
+            acc, m, l = carry
+            i = i0 + j
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < total)
+            def _():
+                copy_block(i + 1, 1 - slot)
+
+            wait_block(slot)
+            k_blk = kbuf[slot].reshape(bk, w)
+            # (k ⊙ q) @ G: identical f32 products and contraction
+            # positions as the standalone kernel's k @ q_diag
+            prod = k_blk.astype(jnp.float32) * q_rowb
+            sc = jax.lax.dot(prod, gmask32,
+                             preferred_element_type=jnp.float32)
+            row = j * bk + jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
+            sc = jnp.where(row < length, sc, -jnp.inf)
+            block_m = jnp.max(sc, axis=0)[:, None]  # [H, 1]
+
+            m_new = jnp.maximum(m, block_m)
+            alpha = jnp.exp(m - m_new)
+            acc = acc * alpha
+            l = l * alpha
+            pexp = jnp.exp(sc - m_new.T)  # [bk, H] f32
+            l = l + jnp.sum(pexp, axis=0)[:, None]
+            v_blk = vbuf[slot].reshape(bk, w)
+            acc = acc + jax.lax.dot(
+                pexp.astype(v_blk.dtype), v_blk,
+                preferred_element_type=jnp.float32,
+                dimension_numbers=(((0,), (0,)), ((), ())))  # [H, W]
+            return acc, m_new, l
+
+        init = (jnp.zeros((num_heads, w), jnp.float32),
+                jnp.full((num_heads, 1), -jnp.inf, jnp.float32),
+                jnp.zeros((num_heads, 1), jnp.float32))
+        acc, m, l = jax.lax.fori_loop(0, n_b, blk_loop, init)
+        i0 = i0 + n_b
+
+        # ---- self-term merge for this slot (flash state in registers) ----
+        # each head's context is its own diagonal head_dim-lane block of
+        # the normalized accumulator (lane_l broadcasts l over the block)
+        lane_l = jax.lax.dot(l.T, gt32,
+                             preferred_element_type=jnp.float32)  # [1, W]
+        # diagonal head blocks of acc via mask+sublane-reduce (a concat of
+        # per-head slices has per-slice layouts Mosaic cannot merge)
+        o_diag = jnp.sum(acc * gt32, axis=0, keepdims=True) \
+            / jnp.maximum(lane_l, 1e-30)
+        s_self = jax.lax.dot(q_row32 * kr.astype(jnp.float32)[s:s + 1, :],
+                             gmask32,
+                             preferred_element_type=jnp.float32)  # [1, H]
+        mt = m.T  # [1, H]
+        m2 = jnp.maximum(mt, s_self)
+        w_cache = l.T * jnp.exp(mt - m2)  # [1, H]
+        w_self = jnp.exp(s_self - m2)
+        # broadcast per-head weights over their head_dim-lane blocks via G^T
+        wc = jax.lax.dot(w_cache, gt32, preferred_element_type=jnp.float32)
+        ws = jax.lax.dot(w_self, gt32, preferred_element_type=jnp.float32)
+        vf = v.astype(jnp.float32)[s:s + 1, :]
+        attn_rows.append((wc * o_diag + ws * vf) / (wc + ws))
+
+    attn = jnp.concatenate(attn_rows, axis=0)  # [B, W] f32
+    x = x + _mm(attn.astype(dtype), wo_ref[0])
+
+    # ---- MLP -------------------------------------------------------------
+    hm = _rms_norm(x, ln_ref[0, 1:2], eps)
+    gu = _mm(hm, wgu_ref[0])  # [B, 2F]
+    gf = gu[:, :f].astype(jnp.float32)
+    gated = (gf * jax.nn.sigmoid(gf)).astype(dtype) * gu[:, f:]
+    x = x + _mm(gated, wd_ref[0])
+    xs_ref[...] = x
+
+    @pl.when(li == n_layers - 1)
+    def _():
+        xout_ref[...] = x
+
+    # ---- finish the RMW append ------------------------------------------
+    for s in range(b):
+        wp = wpos_ref[s]
+        off = wp % page_size - (wp % page_size) // RMW_ROWS * RMW_ROWS
+        sel = jax.lax.broadcasted_iota(jnp.int32, (RMW_ROWS, w), 0) == off
+        pltpu.make_async_copy(wtile(k_out_ref, s), kwbuf.at[s],
+                              wsem.at[s, 0]).wait()
+        kwbuf[s] = jnp.where(
+            sel, jnp.broadcast_to(kr[s:s + 1, :], (RMW_ROWS, w)), kwbuf[s])
+        pltpu.make_async_copy(kwbuf.at[s], wtile(k_out_ref, s),
+                              wsem.at[s, 0]).start()
+        pltpu.make_async_copy(wtile(v_out_ref, s), vwbuf.at[s],
+                              wsem.at[s, 1]).wait()
+        vwbuf[s] = jnp.where(
+            sel, jnp.broadcast_to(v[s:s + 1, :], (RMW_ROWS, w)), vwbuf[s])
+        pltpu.make_async_copy(vwbuf.at[s], wtile(v_out_ref, s),
+                              wsem.at[s, 1]).start()
+    for s in range(b):
+        pltpu.make_async_copy(kwbuf.at[s], wtile(k_out_ref, s),
+                              wsem.at[s, 0]).wait()
+        pltpu.make_async_copy(vwbuf.at[s], wtile(v_out_ref, s),
+                              wsem.at[s, 1]).wait()
+
+
+def prepare_fused(net_params: dict):
+    """Concatenate the per-layer projections once per decode chunk:
+    ``wqkv [L, D, 3W]``, ``wgu [L, D, 2F]``, ``lnorms [L, 2, D]``.  Cheap
+    (one pass over the weights) and hoisted outside the event loop by every
+    caller, so the concat never runs per event."""
+    lp = net_params["layers"]
+    return {
+        "wqkv": jnp.concatenate([lp["wq"], lp["wk"], lp["wv"]], axis=-1),
+        "wo": lp["wo"],
+        "wgu": jnp.concatenate([lp["w_gate"], lp["w_up"]], axis=-1),
+        "wd": lp["w_down"],
+        "ln": jnp.stack([lp["ln_attn"], lp["ln_mlp"]], axis=1),
+        "final_norm": net_params["final_norm"],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "page_size",
+                                             "pages_per_slot", "ppcb",
+                                             "interpret"))
+def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
+                      index: jax.Array, active=None, *,
+                      page_size: int, pages_per_slot: int, ppcb: int = 4,
+                      interpret: bool = False):
+    """Drop-in replacement for ``llama.decode_paged`` on the TPU hot path.
+
+    fused: :func:`prepare_fused` output; x: [B, D] embeddings; index:
+    int32 [B] per-slot lengths BEFORE this token.  Returns (hidden [B, D]
+    after the final norm, updated pools).  bf16 MHA pools only.
+    """
+    b, d = x.shape
+    l_n, _, w3 = fused["wqkv"].shape
+    w = w3 // 3
+    f2 = fused["wgu"].shape[-1]
+    num_heads = cfg.num_heads
+    head_dim = cfg.head_dim
+    assert cfg.kv_heads == num_heads, "fused step kernel is MHA-only"
+    assert head_stride(head_dim, num_heads) == head_dim
+    assert not pools.quantized, "int8 pools keep the split decode path"
+    dtype = fused["wqkv"].dtype
+    capacity = pages_per_slot * page_size
+
+    if active is None:
+        active = jnp.ones((b,), bool)
+    index = index.astype(jnp.int32)
+    lengths = jnp.where(active, jnp.minimum(index, capacity), 0)
+    wpos = jnp.clip(index, 0, capacity - 1)
+
+    # flat slot-major work list (same construction as the streaming kernel)
+    bk = ppcb * page_size
+    nb = (lengths + bk - 1) // bk
+    cum = jnp.cumsum(nb)
+    total = cum[-1:].astype(jnp.int32)
+    max_total = b * max(pages_per_slot // ppcb, 1)
+    idx = jnp.arange(max_total, dtype=jnp.int32)
+    slot_tbl = jnp.minimum(jnp.searchsorted(cum, idx, side="right"),
+                           b - 1).astype(jnp.int32)
+    blk_tbl = (idx - (cum - nb)[slot_tbl]).astype(jnp.int32)
+
+    # RoPE tables tiled per head: [B, W] f32
+    from ..models.llama import rope_cos_sin
+
+    cos, sin = rope_cos_sin(index[:, None].astype(jnp.int32), head_dim,
+                            cfg.rope_theta)  # [B, 1, dh]
+    cos = jnp.tile(cos[:, 0], (1, num_heads))
+    sin = jnp.tile(sin[:, 0], (1, num_heads))
+
+    kernel = functools.partial(
+        _fused_step_kernel, batch=b, num_heads=num_heads, head_dim=head_dim,
+        hidden=d, inter=f2 // 2, page_size=page_size, ppcb=ppcb,
+        pages_per_slot=pages_per_slot, n_layers=l_n, eps=cfg.rms_norm_eps)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(l_n,),
+        in_specs=[
+            vmem,  # x0
+            pl.BlockSpec((1, d, w3), lambda li, *_: (li, 0, 0)),      # wqkv
+            pl.BlockSpec((1, w, d), lambda li, *_: (li, 0, 0)),       # wo
+            pl.BlockSpec((1, d, f2), lambda li, *_: (li, 0, 0)),      # wgu
+            pl.BlockSpec((1, f2 // 2, d), lambda li, *_: (li, 0, 0)),  # wd
+            pl.BlockSpec((1, 2, d), lambda li, *_: (li, 0, 0)),       # ln
+            vmem, vmem,  # cos, sin
+            any_, any_,  # pools
+        ],
+        out_specs=[vmem, any_, any_],
+        scratch_shapes=[
+            pltpu.VMEM((b, d), dtype),        # xs residual stream
+            pltpu.VMEM((2, ppcb, page_size, w), pools.k.dtype),
+            pltpu.VMEM((2, ppcb, page_size, w), pools.v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((b, RMW_ROWS, w), pools.k.dtype),  # k RMW tiles
+            pltpu.VMEM((b, RMW_ROWS, w), pools.v.dtype),  # v RMW tiles
+            pltpu.SemaphoreType.DMA((b, 2)),
+        ],
+    )
+    # weight blocks double-buffer across the layer grid: 2 x per-layer
+    # weight bytes + the cache stream + RMW tiles + slack for compiler
+    # temporaries.  This explicit limit is RESERVED against the program's
+    # shared scoped-VMEM pool even while the co-compiled token-row kernel
+    # runs, so keep it as tight as the kernel's real demand allows
+    # (tools/probe_vmem.py measures the interplay on the live compiler).
+    wbytes = sum(int(np.prod(fused[n].shape[1:]))
+                 for n in ("wqkv", "wo", "wgu", "wd", "ln"))
+    wbytes *= jnp.dtype(dtype).itemsize
+    scratch_bytes = b * d * 2 + 2 * 2 * bk * w * 2 \
+        + 2 * b * RMW_ROWS * w * 2
+    vmem_limit = 2 * int(wbytes) + int(scratch_bytes) + _SLACK_BYTES
+
+    xout, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d), dtype),
+            jax.ShapeDtypeStruct(pools.k.shape, pools.k.dtype),
+            jax.ShapeDtypeStruct(pools.v.shape, pools.v.dtype),
+        ],
+        input_output_aliases={13: 1, 14: 2},  # 5 scalars + 8 ins before pools
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(lengths, slot_tbl, blk_tbl, total, wpos,
+      x.astype(dtype), fused["wqkv"], fused["wo"], fused["wgu"], fused["wd"],
+      fused["ln"], cos, sin, pools.k, pools.v)
+
+    from ..models.llama import rms_norm
+
+    hidden = rms_norm(xout, fused["final_norm"], cfg.rms_norm_eps)
+    return hidden, PagedPools(k=k_out, v=v_out)
+
+
+_ENABLED = True
+
+
+def set_enabled(v: bool):
+    """Toggle the fused step kernel (A/B benchmarks, strict-parity runs)."""
+    global _ENABLED
+    _ENABLED = v
+
+
+def usable(params: dict, cfg, pools: PagedPools) -> bool:
+    """TPU, bf16 weights, MHA, unquantized pools."""
+    return (_ENABLED and jax.default_backend() == "tpu"
+            and params["lm_head"].dtype == jnp.bfloat16
+            and cfg.net.kv_heads == cfg.net.num_heads
+            and head_stride(cfg.net.head_dim, cfg.net.num_heads)
+            == cfg.net.head_dim
+            and not pools.quantized)

@@ -36,10 +36,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _sampler_kernel(topp_ref, topk_ref, probs_ref, g_ref, out_ref, work_ref,
-                    *, k_cap: int):
-    top_p = topp_ref[0]
-    top_k = topk_ref[0]
+def _sampler_kernel(maxk_ref, topp_ref, topk_ref, probs_ref, g_ref, out_ref,
+                    work_ref, *, k_cap: int):
+    top_p = topp_ref[...]  # [B, 1] f32 (per-row)
+    top_k = topk_ref[...]  # [B, 1] i32 (per-row)
     b, v = probs_ref.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, v), 1)
     work_ref[...] = probs_ref[...]
@@ -70,9 +70,17 @@ def _sampler_kernel(topp_ref, topk_ref, probs_ref, g_ref, out_ref, work_ref,
     init = (jnp.full((b, 1), -jnp.inf, jnp.float32),
             jnp.zeros((b, 1), jnp.int32),
             jnp.zeros((b, 1), jnp.float32))
-    n_iter = jnp.minimum(top_k, k_cap)
+    n_iter = jnp.minimum(maxk_ref[0], k_cap)
     _, bidx, _ = jax.lax.fori_loop(0, n_iter, body, init)
     out_ref[...] = bidx
+
+
+def _per_row(x, b, dtype):
+    """Scalar or [B] -> [B, 1] array of ``dtype`` (per-row sampling params)."""
+    x = jnp.asarray(x, dtype)
+    if x.ndim == 0:
+        x = jnp.broadcast_to(x, (b,))
+    return x.reshape(b, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("k_cap", "interpret"))
@@ -81,17 +89,21 @@ def sample_top_p_k_tpu(probs: jax.Array, top_p, top_k, key: jax.Array,
     """probs: [B, V] (need not be normalized). Returns sampled ids [B] i32.
 
     Reference-exact keep semantics; draw realized via Gumbel-argmax (same
-    distribution as the XLA path's ``jax.random.categorical``).
+    distribution as the XLA path's ``jax.random.categorical``).  ``top_p`` /
+    ``top_k`` may be scalars or per-row [B] vectors (continuous batching
+    serves requests with different sampling knobs in one batch).
     """
     b, v = probs.shape
     g = jax.random.gumbel(key, (b, k_cap), jnp.float32)
-    topp = jnp.asarray(top_p, jnp.float32).reshape(1)
-    topk = jnp.asarray(top_k, jnp.int32).reshape(1)
+    topp = _per_row(top_p, b, jnp.float32)
+    topk = _per_row(top_k, b, jnp.int32)
+    maxk = jnp.max(topk).reshape(1)
     out = pl.pallas_call(
         functools.partial(_sampler_kernel, k_cap=k_cap),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -99,5 +111,5 @@ def sample_top_p_k_tpu(probs: jax.Array, top_p, top_k, key: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
         scratch_shapes=[pltpu.VMEM((b, v), jnp.float32)],
         interpret=interpret,
-    )(topp, topk, probs.astype(jnp.float32), g)
+    )(maxk, topp, topk, probs.astype(jnp.float32), g)
     return out[:, 0]

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 K_CAP = 128  # == sampling.topk_topp.K_CAP (max top_k the UI offers)
+LANE = 128
 
 
 def _mm(a, b):
@@ -61,10 +62,11 @@ def _rope(x, cos, sin):
     return out.astype(x.dtype)
 
 
-def _sample(probs, g_step, work_ref, top_p, top_k, greedy: bool,
+def _sample(probs, g_step, work_ref, top_p, top_k, max_k, greedy: bool,
             k_cap: int):
     """One categorical draw per row. probs [B, V] f32 (masked, unnormalized);
-    g_step [B, k_cap] Gumbel noise.  Same extraction loop as ops/sampler.py."""
+    g_step [B, k_cap] Gumbel noise; top_p/top_k [B, 1] per-row knobs,
+    max_k their scalar loop bound.  Same extraction loop as ops/sampler.py."""
     b, v = probs.shape
     if greedy:
         lane = jax.lax.broadcasted_iota(jnp.int32, (b, v), 1)
@@ -97,25 +99,27 @@ def _sample(probs, g_step, work_ref, top_p, top_k, greedy: bool,
     init = (jnp.full((b, 1), -jnp.inf, jnp.float32),
             jnp.zeros((b, 1), jnp.int32),
             jnp.zeros((b, 1), jnp.float32))
-    n_iter = jnp.minimum(top_k, k_cap)
+    n_iter = jnp.minimum(max_k, k_cap)
     _, bidx, _ = jax.lax.fori_loop(0, n_iter, body, init)
     return bidx[:, 0]
 
 
-def _token_row_kernel(temp_ref, topp_ref, topk_ref, hidden_ref,
+def _token_row_kernel(maxk_ref, temp_ref, topp_ref, topk_ref, hidden_ref,
                       wq_ref, wk_ref, wv_ref, wo_ref, wg_ref, wu_ref, wd_ref,
                       ln_attn_ref, ln_mlp_ref, fnorm_ref, lm_ref, emb_ref,
                       first_ref, steps_ref, pad_only_ref, cos_ref, sin_ref,
-                      gumbel_ref, forced_ref,
+                      gumbel_ref, forced_ref, allow_ref,
                       row_ref, ended_ref, work_ref,
                       n_layers: int, n_heads: int, kv_heads: int,
                       head_dim: int, t_max: int, n_events: int, eps: float,
-                      eos_id: int, k_cap: int, greedy: bool):
+                      eos_id: int, k_cap: int, greedy: bool,
+                      per_slot_allow: bool):
     b, d = hidden_ref.shape
     v = lm_ref.shape[-1]
-    temp = temp_ref[0]
-    top_p = topp_ref[0]
-    top_k = topk_ref[0]
+    temp = temp_ref[...]  # [B, 1] f32 per-row sampling knobs
+    top_p = topp_ref[...]
+    top_k = topk_ref[...]
+    max_k = maxk_ref[0]
     first_event_id = eos_id + 1
     dtype = wq_ref.dtype
 
@@ -196,9 +200,14 @@ def _token_row_kernel(temp_ref, topp_ref, topk_ref, hidden_ref,
             mask = jnp.where(ended, pad_mask, mask)
         mask = jnp.where(forced, pad_mask, mask)
         probs = probs * mask
+        if per_slot_allow:
+            # per-slot constraint plane (0/1; bans ride exclusive id blocks
+            # so one multiply per step is exact — sampling/masks.py)
+            probs = probs * allow_ref[...].astype(jnp.float32)
 
         g_step = gumbel_ref[j * b:(j + 1) * b, :]
-        tok = _sample(probs, g_step, work_ref, top_p, top_k, greedy, k_cap)
+        tok = _sample(probs, g_step, work_ref, top_p, top_k, max_k, greedy,
+                      k_cap)
 
         row_ref[:, j:j + 1] = tok[:, None]
         if j == 0:
@@ -215,7 +224,7 @@ def _token_row_kernel(temp_ref, topp_ref, topk_ref, hidden_ref,
 
 def decode_token_row(params: dict, config, hidden: jax.Array, masks,
                      temp, top_p, top_k, key: jax.Array, *,
-                     greedy: bool = False, forced_pad=None,
+                     greedy: bool = False, forced_pad=None, allow=None,
                      interpret: bool = False):
     """Decode one full token row for every batch row in ONE kernel dispatch.
 
@@ -224,6 +233,12 @@ def decode_token_row(params: dict, config, hidden: jax.Array, masks,
     ``_mask_arrays`` triple (first [V], steps [E, T, V], pad_only [V]);
     forced_pad [B] bool (optional): rows forced to emit pad (retired batcher
     slots).  Returns (row [B, T] i32, ended [B] bool).
+
+    ``temp`` / ``top_p`` / ``top_k`` may be scalars or per-row [B] vectors
+    (continuous batching serves requests with different sampling knobs in
+    one batch).  ``allow`` [B, V] 0/1 (optional) multiplies every step's
+    grammar mask — the per-request constraint plane
+    (sampling/masks.py ``build_allow_vector``).
 
     The sampled distribution matches sampling/topk_topp.py (reference keep
     semantics, Gumbel-argmax draw); ``greedy`` is exact argmax.
@@ -258,12 +273,19 @@ def decode_token_row(params: dict, config, hidden: jax.Array, masks,
         n_layers=tok_cfg.num_layers, n_heads=tok_cfg.num_heads,
         kv_heads=tok_cfg.kv_heads, head_dim=tok_cfg.head_dim, t_max=t_max,
         n_events=int(n_events), eps=tok_cfg.rms_norm_eps, eos_id=eos_id,
-        k_cap=K_CAP, greedy=greedy)
+        k_cap=K_CAP, greedy=greedy, per_slot_allow=allow is not None)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    from .sampler import _per_row
+
+    # 0/1 plane: bf16 is exact and halves the input window; a one-tile dummy
+    # keeps the program identical when no per-slot constraints are active
+    allow_in = (jnp.zeros((8, LANE), jnp.bfloat16) if allow is None
+                else allow.astype(jnp.bfloat16))
+    topk = _per_row(top_k, b, jnp.int32)
     row, ended = pl.pallas_call(
         kernel,
-        in_specs=[smem] * 3 + [vmem] * 20,
+        in_specs=[smem] + [vmem] * 24,
         out_specs=[vmem, vmem],
         out_shape=[jax.ShapeDtypeStruct((b, t_max), jnp.int32),
                    jax.ShapeDtypeStruct((b, 1), jnp.int32)],
@@ -272,13 +294,16 @@ def decode_token_row(params: dict, config, hidden: jax.Array, masks,
             # measured demand with double-buffered VMEM weight inputs is
             # ~110 MB; the explicit limits of co-compiled Pallas kernels
             # can SUM in the program's vmem accounting, so keep this as
-            # tight as the demand allows (the paged kernel reserves 14-28)
+            # tight as the demand allows (the fused decode-step kernel's
+            # weight windows shave the shared pool too — its rope matrix
+            # and this kernel's step table went bf16/in-kernel for that)
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(
-        jnp.asarray(temp, jnp.float32).reshape(1),
-        jnp.asarray(top_p, jnp.float32).reshape(1),
-        jnp.asarray(top_k, jnp.int32).reshape(1),
+        jnp.max(topk).reshape(1),
+        _per_row(temp, b, jnp.float32),
+        _per_row(top_p, b, jnp.float32),
+        topk,
         hidden.astype(dtype),
         lp["wq"], lp["wk"], lp["wv"], lp["wo"],
         lp["w_gate"], lp["w_up"], lp["w_down"],
@@ -287,10 +312,12 @@ def decode_token_row(params: dict, config, hidden: jax.Array, masks,
         params["lm_head"].astype(dtype),
         params["net_token"]["embed"].astype(dtype),
         first.astype(jnp.float32)[None, :],
-        jnp.swapaxes(steps_tbl.astype(jnp.float32), 0, 1
+        # 0/1 mask table: bf16 is exact and halves this input's VMEM window
+        # (the kernel's mask matmul already ran in bf16)
+        jnp.swapaxes(steps_tbl.astype(jnp.bfloat16), 0, 1
                      ).reshape(t_max * n_events, vocab),
         pad_only.astype(jnp.float32)[None, :],
-        cos, sin, gumbel, forced,
+        cos, sin, gumbel, forced, allow_in,
     )
     return row, ended[:, 0] > 0
 

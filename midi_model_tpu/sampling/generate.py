@@ -124,13 +124,16 @@ def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
 
 def token_row_scan(params, config: MIDIModelConfig, hidden: jax.Array, masks,
                    temp, top_p, top_k, key, greedy: bool,
-                   forced_pad: Optional[jax.Array] = None):
+                   forced_pad: Optional[jax.Array] = None,
+                   allow: Optional[jax.Array] = None):
     """Decode one full token row per batch row as an XLA ``lax.scan`` (the
     portable path; on TPU with bf16 weights ``ops.token_loop`` fuses the whole
     loop into one VMEM-resident kernel — see :func:`decode_token_row_any`).
 
     hidden [B, D]: event-net hidden; forced_pad [B] bool (optional): rows
-    forced to emit pad rows (retired continuous-batching slots).
+    forced to emit pad rows (retired continuous-batching slots); allow
+    [B, V] 0/1 (optional): per-row constraint plane multiplied into every
+    step's grammar mask (masks.build_allow_vector).
     Returns (row [B, T] i32, ended [B] bool — eos emitted at step 0).
     """
     first, steps_tbl, pad_only = masks
@@ -141,6 +144,8 @@ def token_row_scan(params, config: MIDIModelConfig, hidden: jax.Array, masks,
     eos_id = config.tokenizer.eos_id
     first_event_id = int(config.tokenizer.eos_id) + 1
     n_events = len(config.tokenizer.events)
+    # temp may be a scalar or a per-row [B] vector (continuous batching)
+    temp_b = jnp.asarray(temp, jnp.float32)[..., None]
 
     cache2 = KVCache.zeros(tok_cfg, b, t_max, dtype=dtype)
 
@@ -154,13 +159,15 @@ def token_row_scan(params, config: MIDIModelConfig, hidden: jax.Array, masks,
         )[:, None, :]
         h, cache2 = llama.forward(params["net_token"], tok_cfg, inp, cache=cache2)
         logits = midinet.lm_head(params, h[:, 0])  # [B, V] f32
-        probs = jax.nn.softmax(logits / temp, axis=-1)
+        probs = jax.nn.softmax(logits / temp_b, axis=-1)
         step_mask = steps_tbl[e_off, i]  # [B, V]
         mask = jnp.where(i == 0, first[None, :], step_mask)
         mask = jnp.where(ended[:, None], pad_only[None, :], mask)
         if forced_pad is not None:
             mask = jnp.where(forced_pad[:, None], pad_only[None, :], mask)
         probs = probs * mask
+        if allow is not None:
+            probs = probs * allow.astype(probs.dtype)
         if greedy:
             tok = sample_greedy(probs)
         else:
@@ -183,26 +190,36 @@ def token_row_scan(params, config: MIDIModelConfig, hidden: jax.Array, masks,
 def decode_token_row_any(params, config: MIDIModelConfig, hidden: jax.Array,
                          masks, temp, top_p, top_k, key, greedy: bool,
                          forced_pad: Optional[jax.Array] = None,
-                         kernel_ok: bool = True):
+                         kernel_ok: bool = True,
+                         allow: Optional[jax.Array] = None):
     """Token-row decode with backend dispatch: the fused VMEM-resident Pallas
     kernel on TPU/bf16 (ops/token_loop.py, ~4x the XLA scan at bs=32), the
     XLA scan elsewhere.  ``kernel_ok=False`` forces the scan — the aligned
     decode loop uses it above 64 rows, where the kernel's ~110 MB VMEM
     footprint doesn't fit next to that program's other buffers and its
-    weight-reuse advantage has amortized away anyway."""
+    weight-reuse advantage has amortized away anyway.  ``allow`` [B, V] 0/1:
+    per-row constraint plane (continuous batching; masks.build_allow_vector)."""
     from ..ops import token_loop
 
     if kernel_ok and token_loop.usable(params, config):
         return token_loop.decode_token_row(
             params, config, hidden, masks, temp, top_p, top_k, key,
-            greedy=greedy, forced_pad=forced_pad)
+            greedy=greedy, forced_pad=forced_pad, allow=allow)
     return token_row_scan(params, config, hidden, masks, temp, top_p, top_k,
-                          key, greedy, forced_pad)
+                          key, greedy, forced_pad, allow)
 
 
 def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
-                      masks, temp, top_p, top_k, key, greedy: bool):
-    """Sample one full row (8 tokens) and advance the event cache."""
+                      masks, temp, top_p, top_k, key, greedy: bool,
+                      fused=None):
+    """Sample one full row (8 tokens) and advance the event cache.
+
+    ``fused`` (ops.fused_step.prepare_fused output, hoisted outside the
+    event loop by decode_events) selects the whole-step fused kernel: all
+    layers in ONE dispatch with the per-layer weights double-buffered across
+    the layer grid — the weight stream never stops at op/layer boundaries
+    (the split path measures ~44% of HBM peak on the matmul stream alone).
+    """
     b = state.hidden.shape[0]
     row, ended = decode_token_row_any(params, config, state.hidden, masks,
                                       temp, top_p, top_k, key, greedy,
@@ -213,12 +230,19 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
     ps = state.pools.page_size
     pps = state.pools.k.shape[0] // (config.net.num_layers * b)
     index = jnp.broadcast_to(state.cur_len, (b,))
-    # aligned decode: uniform lengths favor the per-cell kernel (no
-    # work-table indirection); the streaming kernel wins on the batcher's
-    # ragged short lengths (serve/batcher.py)
-    h, pools = llama.decode_paged(
-        params["net"], config.net, emb[:, 0], state.pools,
-        index, page_size=ps, pages_per_slot=pps, streaming=False)
+    if fused is not None:
+        from ..ops.fused_step import fused_decode_step
+
+        h, pools = fused_decode_step(fused, config.net, emb[:, 0],
+                                     state.pools, index,
+                                     page_size=ps, pages_per_slot=pps)
+    else:
+        # split path: uniform lengths favor the per-cell kernel (no
+        # work-table indirection); the streaming kernel wins on the
+        # batcher's ragged short lengths (serve/batcher.py)
+        h, pools = llama.decode_paged(
+            params["net"], config.net, emb[:, 0], state.pools,
+            index, page_size=ps, pages_per_slot=pps, streaming=False)
     return state._replace(pools=pools, hidden=h,
                           cur_len=state.cur_len + 1,
                           all_eos=jnp.all(ended)), row
@@ -240,11 +264,17 @@ def decode_events(params, config: MIDIModelConfig, state: GenState, masks,
     across dispatches instead of being copied once per chunk (callers must
     rebind ``state`` to the returned value, which every call site does).
     """
+    from ..ops import fused_step as _fs
+
     b = state.hidden.shape[0]
     t_max = config.tokenizer.max_token_seq
     max_seq = state.capacity(config, b)
     pad_id = config.tokenizer.pad_id
     rows0 = jnp.full((b, n_events_chunk, t_max), pad_id, jnp.int32)
+    # whole-step fused kernel (TPU/bf16/MHA): prepared ONCE per chunk here,
+    # outside the event loop, so the qkv/gate-up concats never run per event
+    fused = (_fs.prepare_fused(params["net"])
+             if _fs.usable(params, config, state.pools) else None)
 
     def cond(carry):
         state, _, step = carry
@@ -254,7 +284,8 @@ def decode_events(params, config: MIDIModelConfig, state: GenState, masks,
         state, rows, step = carry
         step_key = jax.random.fold_in(key, step)
         state, row = _decode_one_event(params, config, state, masks, temp,
-                                       top_p, top_k, step_key, greedy)
+                                       top_p, top_k, step_key, greedy,
+                                       fused=fused)
         rows = jax.lax.dynamic_update_slice(rows, row[:, None, :], (0, step, 0))
         return state, rows, step + 1
 

@@ -75,3 +75,31 @@ def build_mask_table(tokenizer, disable_patch_change: bool = False,
                 steps[off, i, v.pad_id] = True
     return MaskTable(first=first, steps=steps, pad_only=pad_only,
                      first_event_id=first_event, n_events=n_events)
+
+
+def build_allow_vector(tokenizer, disable_patch_change: bool = False,
+                       disable_control_change: bool = False,
+                       disable_channels: Optional[Sequence[int]] = None
+                       ) -> np.ndarray:
+    """Per-REQUEST constraint plane for continuous batching: a [V] bool
+    vector with 0 at every banned id, 1 elsewhere.
+
+    Works as a single multiplicative mask applied at EVERY token step
+    because each ban targets an id block no other grammar position uses:
+    event-type ids (banned events) and channel-param ids (banned channels)
+    are exclusive, disjoint ranges in the vocab (tokenizer/vocab.py), so
+    zeroing them anywhere only ever zeroes the intended choices.  This lets
+    one batch serve requests with different instrument/channel constraints
+    (the reference rebuilds a python mask per row per step, app.py:66-88).
+    """
+    v = tokenizer.vocab
+    allow = np.ones((v.vocab_size,), dtype=bool)
+    if disable_patch_change:
+        allow[v.event_ids["patch_change"]] = False
+    if disable_control_change:
+        allow[v.event_ids["control_change"]] = False
+    if disable_channels:
+        base = v.param_base("channel")
+        for c in disable_channels:
+            allow[base + c] = False
+    return allow

@@ -38,6 +38,10 @@ def sample_top_p_k(probs: jax.Array, top_p, top_k, key: jax.Array,
     ``top_k ≤ k_cap`` sorted entries anyway, results are identical to the
     full-sort formulation for any ``top_k ≤ k_cap``.
 
+    ``top_p`` / ``top_k`` may be scalars or per-row vectors matching
+    ``probs.shape[:-1]`` (continuous batching serves requests with
+    different sampling knobs in one batch).
+
     ``use_kernel`` selects the Pallas Gumbel-argmax kernel (default: on for
     2-D inputs on TPU).  The kernel samples the SAME distribution as the XLA
     path but realizes a different draw for a given PRNG key (Gumbel-argmax
@@ -50,6 +54,8 @@ def sample_top_p_k(probs: jax.Array, top_p, top_k, key: jax.Array,
         from ..ops.sampler import sample_top_p_k_tpu
 
         return sample_top_p_k_tpu(probs, top_p, top_k, key, k_cap=k_cap)
+    top_p = jnp.asarray(top_p)[..., None]  # scalar -> [1]; [B] -> [B, 1]
+    top_k = jnp.asarray(top_k)[..., None]
     sorted_probs, sorted_idx = jax.lax.top_k(probs, k_cap)  # descending
     cumsum = jnp.cumsum(sorted_probs, axis=-1)
     keep = (cumsum - sorted_probs) <= top_p

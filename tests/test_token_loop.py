@@ -88,3 +88,29 @@ def test_forced_pad_rows(setup):
     # un-forced rows still decode a grammatical row (not all pad at step 0)
     first = np.asarray(masks[0])
     assert first[row[1, 0]] and first[row[3, 0]]
+
+
+def test_allow_plane_matches_scan(setup):
+    """Per-slot constraint plane: the kernel's banned ids never appear, and
+    rows match the XLA scan with the same plane (top_k=1 determinism)."""
+    from midi_model_tpu.sampling.masks import build_allow_vector
+
+    config, params, masks, hidden = setup
+    tok = config.tokenizer
+    b = hidden.shape[0]
+    allow_rows = np.ones((b, tok.vocab_size), np.float32)
+    allow_rows[0] = build_allow_vector(tok, disable_patch_change=True,
+                                       disable_channels=[1, 3])
+    allow_rows[2] = build_allow_vector(tok, disable_control_change=True)
+    allow = jnp.asarray(allow_rows)
+    key = jax.random.PRNGKey(6)
+    row_ref, _ = token_row_scan(params, config, hidden, masks,
+                                1.0, 1.0, 1, key, greedy=True, allow=allow)
+    row, _ = token_loop.decode_token_row(
+        params, config, hidden, masks, 1.0, 1.0, 1, key, greedy=False,
+        allow=allow, interpret=True)
+    np.testing.assert_array_equal(np.asarray(row), np.asarray(row_ref))
+    v = tok.vocab
+    banned0 = {v.event_ids["patch_change"], v.param_base("channel") + 1,
+               v.param_base("channel") + 3}
+    assert not (set(np.asarray(row)[0].tolist()) & banned0)
