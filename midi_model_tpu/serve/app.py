@@ -104,7 +104,13 @@ class MidiGenerationService:
 
     def __init__(self, params, config: MIDIModelConfig, batch_size: int = 4,
                  soundfont_path: Optional[str] = None, chunk_size: int = 64,
-                 context_limit: int = 4096, kv_int8: bool = False):
+                 context_limit: int = 4096, kv_int8: bool = False,
+                 batcher_slots: int = 0):
+        """``batcher_slots`` > 0 backs generation with one shared
+        :class:`~midi_model_tpu.serve.batcher_service.BatcherService`:
+        concurrent sessions/continuations become slot admissions into a
+        single running batch instead of queued aligned runs (the aligned
+        path remains at 0 — best single-session latency)."""
         self.params = params
         self.config = config
         self.tokenizer = config.tokenizer
@@ -112,7 +118,22 @@ class MidiGenerationService:
         self.chunk_size = chunk_size
         self.context_limit = context_limit
         self.kv_int8 = kv_int8
+        self.batcher_slots = batcher_slots
+        self.batcher_service = None
+        if batcher_slots:
+            self._build_batcher()
         self.synthesizer = load_synthesizer(soundfont_path)
+
+    def _build_batcher(self):
+        from .batcher import ContinuousBatcher
+        from .batcher_service import BatcherService
+
+        if self.batcher_service is not None:
+            self.batcher_service.close()
+        self.batcher_service = BatcherService(ContinuousBatcher(
+            self.params, self.config, n_slots=self.batcher_slots,
+            max_seq=self.context_limit, chunk=self.chunk_size,
+            kv_int8=self.kv_int8))
 
     # ---- prompt builders -------------------------------------------------
 
@@ -183,6 +204,11 @@ class MidiGenerationService:
         prompt = np.asarray([prompt_rows] * self.batch_size, dtype=np.int64) \
             if np.asarray(prompt_rows).ndim == 2 else np.asarray(prompt_rows)
 
+        if self.batcher_service is not None:
+            yield from self._run_batched(req, prompt, disable_patch_change,
+                                         disable_channels)
+            return
+
         q: "queue.Queue" = queue.Queue()
         done = object()
 
@@ -216,6 +242,33 @@ class MidiGenerationService:
                 raise item
             yield item
         thread.join()
+
+    def _run_batched(self, req: GenerationRequest, prompt: np.ndarray,
+                     disable_patch_change: bool, disable_channels):
+        """Generation through the shared continuous batcher: this session's
+        ``batch_size`` variation rows become slot admissions (other sessions'
+        requests decode in the same device batch), streamed back as aligned
+        [B, n, T] chunks.  Per-request sampling knobs and grammar constraints
+        ride the batcher's per-slot planes; ``req.seed`` is not honoured here
+        (the batch shares one PRNG stream) — use the aligned path
+        (``batcher_slots=0``) for seed-reproducible runs."""
+        head_len = max(0, prompt.shape[1] - self.context_limit)
+        visible = prompt[:, head_len:]
+        gen = self.batcher_service.submit_group(
+            [visible[i].astype(np.int32) for i in range(visible.shape[0])],
+            req.gen_events, temp=req.temp, top_p=req.top_p, top_k=req.top_k,
+            disable_patch_change=disable_patch_change,
+            disable_control_change=not req.allow_cc,
+            disable_channels=disable_channels)
+        parts = []
+        for chunk in gen:
+            parts.append(chunk)
+            yield chunk
+        t_max = self.tokenizer.max_token_seq
+        gen_rows = (np.concatenate(parts, axis=1) if parts
+                    else np.zeros((prompt.shape[0], 0, t_max), np.int64))
+        self.last_output = np.concatenate(
+            [prompt, gen_rows.astype(prompt.dtype)], axis=1)
 
     # ---- continuation / undo (ref app.py:194-206, :282-296) --------------
 
@@ -287,6 +340,8 @@ class MidiGenerationService:
         self.params = params
         self.config = config
         self.tokenizer = config.tokenizer
+        if self.batcher_service is not None:
+            self._build_batcher()  # new weights -> fresh shared batch
         return config
 
     def render_audio(self, sequences, max_workers: Optional[int] = None):
@@ -613,6 +668,10 @@ def main(argv=None):
     ap.add_argument("--share", action="store_true")
     ap.add_argument("--kv-int8", action="store_true", default=False,
                     help="int8 KV cache (halves decode memory traffic)")
+    ap.add_argument("--batcher-slots", type=int, default=0,
+                    help="share one continuous batcher across sessions: "
+                         "concurrent requests become slot admissions "
+                         "instead of queued aligned runs (0 = aligned)")
     args = ap.parse_args(argv)
     if not args.ckpt and not args.model_name:
         ap.error("one of --ckpt or --model-name is required")
@@ -629,7 +688,8 @@ def main(argv=None):
         params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
         service = MidiGenerationService(params, config, batch_size=args.batch,
                                         soundfont_path=args.soundfont,
-                                        kv_int8=args.kv_int8)
+                                        kv_int8=args.kv_int8,
+                                        batcher_slots=args.batcher_slots)
     else:
         # placeholder init; load_from_zoo replaces params/config
         config = MIDIModelConfig.from_name(
@@ -640,7 +700,8 @@ def main(argv=None):
                                      dtype=jnp.bfloat16)
         service = MidiGenerationService(params, config, batch_size=args.batch,
                                         soundfont_path=args.soundfont,
-                                        kv_int8=args.kv_int8)
+                                        kv_int8=args.kv_int8,
+                                        batcher_slots=args.batcher_slots)
         service.load_from_zoo(args.model_name, args.lora or None)
 
     app = build_ui(service)

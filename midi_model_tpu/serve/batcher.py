@@ -59,7 +59,7 @@ from ..models import llama, midinet
 from ..models.config import MIDIModelConfig
 from ..models.llama import KVCache
 from ..sampling.generate import _mask_arrays, decode_token_row_any
-from ..sampling.masks import build_mask_table
+from ..sampling.masks import build_allow_vector, build_mask_table
 
 PREFILL_BUCKETS = (16, 64, 256, 1024, 4096)
 
@@ -71,6 +71,8 @@ class _Slot:
     budget: int = 0
     produced: int = 0
     rows: List[np.ndarray] = field(default_factory=list)
+    # rows delivered to a streaming callback so far (serve/batcher_service)
+    streamed: int = 0
 
 
 @dataclass
@@ -171,12 +173,14 @@ def _splice_slot(slot, p_len, pools, hidden_all, index_all,
 
 
 def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
-               top_p, top_k, key, chunk: int, greedy: bool = False, *,
-               page_size: int, pages_per_slot: int,
+               top_p, top_k, key, chunk: int, greedy: bool = False,
+               allow=None, *, page_size: int, pages_per_slot: int,
                token_kernel_ok: bool = True):
     """Decode ``chunk`` events for all slots (one dispatch).
 
-    carry = (pools, index [B], hidden [B, D]).
+    carry = (pools, index [B], hidden [B, D]); allow [B, V] 0/1 (optional):
+    per-slot constraint plane (requests with different instrument/channel
+    bans share the batch — masks.build_allow_vector).
     Returns (carry, rows [B, chunk, T]).
 
     A device-side ``alive`` mask retires a slot mid-chunk the moment it emits
@@ -195,7 +199,8 @@ def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
         pools, index, hidden, alive = carry
         row, _ended = decode_token_row_any(
             params, config, hidden, masks, temp, top_p, top_k, ev_key,
-            greedy, forced_pad=~alive, kernel_ok=token_kernel_ok)
+            greedy, forced_pad=~alive, kernel_ok=token_kernel_ok,
+            allow=allow)
 
         emb = midinet.embed_events(params, row[:, None, :])[:, 0]
         h, pools = llama.decode_paged(
@@ -253,17 +258,20 @@ def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
     carry_spec = (pool_spec, P(DATA_AXIS), P(DATA_AXIS))
     mask_spec = (P(), P(), P())
 
-    def step_local(params, carry, masks, active, temp, top_p, top_k, key):
+    def step_local(params, carry, masks, active, temp, top_p, top_k, allow,
+                   key):
         idx = jax.lax.axis_index(DATA_AXIS)
         return _step_impl(params, config, carry, masks, active, temp, top_p,
                           top_k, jax.random.fold_in(key, idx), chunk, greedy,
-                          page_size=page_size, pages_per_slot=pages_per_slot,
+                          allow, page_size=page_size,
+                          pages_per_slot=pages_per_slot,
                           token_kernel_ok=token_kernel_ok)
 
     step_dp = jax.jit(
         shard_map(step_local, mesh=mesh,
                   in_specs=(P(), carry_spec, mask_spec, P(DATA_AXIS),
-                            P(), P(), P(), P()),
+                            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                            P(DATA_AXIS), P()),
                   out_specs=(carry_spec, P(DATA_AXIS))),
         donate_argnums=(1,))
 
@@ -368,6 +376,14 @@ class ContinuousBatcher:
                 mesh, kv_int8, config, chunk, greedy, page_size,
                 self.pages_per_slot, self._token_kernel_ok, local_slots)
         self._active = np.zeros((n_slots,), bool)
+        # per-slot sampling knobs (requests override batcher defaults)
+        self._temp = np.full((n_slots,), temp, np.float32)
+        self._top_p = np.full((n_slots,), top_p, np.float32)
+        self._top_k = np.full((n_slots,), top_k, np.int32)
+        # per-slot constraint plane (requests with instrument/channel bans
+        # share the batch); all-ones slots keep the unconstrained program
+        self._allow = np.ones((n_slots, config.tokenizer.vocab_size),
+                              np.float32)
         self.slots = [_Slot() for _ in range(n_slots)]
         self.queue: List[tuple] = []
         self._key = jax.random.PRNGKey(seed)
@@ -375,14 +391,37 @@ class ContinuousBatcher:
 
     # ---- submission ------------------------------------------------------
 
-    def submit(self, prompt_rows, max_events: int) -> int:
-        """Queue a request; returns its request id."""
+    def submit(self, prompt_rows, max_events: int, temp: float = None,
+               top_p: float = None, top_k: int = None,
+               disable_patch_change: bool = False,
+               disable_control_change: bool = False,
+               disable_channels=None) -> int:
+        """Queue a request; returns its request id.
+
+        ``temp``/``top_p``/``top_k`` override the batcher defaults FOR THIS
+        REQUEST's slot — the decode kernels take per-row sampling knobs, so
+        requests with different UI slider settings share one batch.  The
+        ``disable_*`` grammar constraints are likewise per-request: they
+        become the slot's row of the [B, V] allow plane
+        (masks.build_allow_vector), so one batch serves requests with
+        different instrument/channel bans.
+        """
         rid = self._next_id
         self._next_id += 1
         prompt = np.asarray(prompt_rows, dtype=np.int32)
         if prompt.ndim != 2:
             raise ValueError("prompt must be [events, max_token_seq]")
-        self.queue.append((rid, prompt, max_events))
+        knobs = (self.temp if temp is None else temp,
+                 self.top_p if top_p is None else top_p,
+                 self.top_k if top_k is None else top_k)
+        if disable_patch_change or disable_control_change or disable_channels:
+            allow = build_allow_vector(
+                self.tokenizer, disable_patch_change=disable_patch_change,
+                disable_control_change=disable_control_change,
+                disable_channels=disable_channels).astype(np.float32)
+        else:
+            allow = None
+        self.queue.append((rid, prompt, max_events, knobs, allow))
         self._admit()
         return rid
 
@@ -391,10 +430,11 @@ class ContinuousBatcher:
             free = next((i for i, s in enumerate(self.slots) if not s.active), None)
             if free is None:
                 return
-            rid, prompt, budget = self.queue.pop(0)
-            self._install(free, rid, prompt, budget)
+            rid, prompt, budget, knobs, allow = self.queue.pop(0)
+            self._install(free, rid, prompt, budget, knobs, allow)
 
-    def _install(self, slot: int, rid: int, prompt: np.ndarray, budget: int):
+    def _install(self, slot: int, rid: int, prompt: np.ndarray, budget: int,
+                 knobs=None, allow=None):
         p_len = prompt.shape[0]
         ps = self.page_size
         bucket = next(b for b in PREFILL_BUCKETS if b >= p_len)
@@ -421,7 +461,14 @@ class ContinuousBatcher:
         s.budget = budget
         s.produced = 0
         s.rows = []
+        s.streamed = 0
         self._active[slot] = True
+        t, p, k = knobs if knobs is not None else (self.temp, self.top_p,
+                                                   self.top_k)
+        self._temp[slot] = t
+        self._top_p[slot] = p
+        self._top_k[slot] = k
+        self._allow[slot] = 1.0 if allow is None else allow
 
     # ---- decoding --------------------------------------------------------
 
@@ -429,23 +476,36 @@ class ContinuousBatcher:
     def any_active(self) -> bool:
         return bool(self._active.any()) or bool(self.queue)
 
-    def step(self) -> List[Finished]:
-        """Decode one chunk for all active slots; returns finished requests."""
+    def step(self, on_rows=None) -> List[Finished]:
+        """Decode one chunk for all active slots; returns finished requests.
+
+        ``on_rows(request_id, rows [n, T])`` (optional) streams each live
+        slot's freshly decoded rows as they land — the serving layer's
+        per-request streaming hook (serve/batcher_service.py).
+        """
         if not self._active.any():
             self._admit()
             if not self._active.any():
                 return []
         self._key, sub = jax.random.split(self._key)
         carry = (self._pools, self._index, self._hidden)
+        temp = jnp.asarray(self._temp)
+        top_p = jnp.asarray(self._top_p)
+        top_k = jnp.asarray(self._top_k)
+        # the constraint plane only enters the program when some slot has a
+        # ban (None keeps the unconstrained program; both variants cache)
+        allow = (None if np.all(self._allow == 1.0)
+                 else jnp.asarray(self._allow))
         if self.mesh is not None:
+            allow_dp = (jnp.asarray(self._allow) if allow is None else allow)
             carry, rows = self._step_dp(self.params, carry, self.masks,
-                                        jnp.asarray(self._active), self.temp,
-                                        self.top_p, self.top_k, sub)
+                                        jnp.asarray(self._active), temp,
+                                        top_p, top_k, allow_dp, sub)
         else:
             carry, rows = _step(self.params, self.config, carry, self.masks,
-                                jnp.asarray(self._active), self.temp,
-                                self.top_p, self.top_k, sub, self.chunk,
-                                self.greedy, page_size=self.page_size,
+                                jnp.asarray(self._active), temp,
+                                top_p, top_k, sub, self.chunk,
+                                self.greedy, allow, page_size=self.page_size,
                                 pages_per_slot=self.pages_per_slot,
                                 token_kernel_ok=self._token_kernel_ok)
         (self._pools, self._index, self._hidden) = carry
@@ -486,7 +546,14 @@ class ContinuousBatcher:
                         reason=done_reason))
                     slot.active = False
                     self._active[b] = False
+                    # retired slots drop their constraint row so an all-
+                    # unconstrained batch returns to the plane-free program
+                    self._allow[b] = 1.0
                     break
+            if on_rows is not None and slot.streamed < len(slot.rows):
+                on_rows(slot.request_id,
+                        np.stack(slot.rows[slot.streamed:]))
+                slot.streamed = len(slot.rows)
         self._admit()
         return finished
 

@@ -109,6 +109,45 @@ def test_kv_int8_small_slots_degrades_to_scan(setup):
         assert ev or row[0] in (tok.pad_id, tok.eos_id)
 
 
+def test_per_request_constraints_share_batch(setup):
+    """Requests with different grammar bans share one batch: the banned ids
+    never appear in the constrained stream, and an unconstrained slot's
+    stream is bit-identical to a run without the constrained neighbour
+    (the allow plane is per-slot, masks.build_allow_vector)."""
+    cfg, params = setup
+    tok = cfg.tokenizer
+    v = tok.vocab
+
+    solo = ContinuousBatcher(params, cfg, n_slots=2, max_seq=64, chunk=4,
+                             seed=11, disable_eos=True)
+    r_solo = solo.submit(bos_prompt(tok), max_events=6)
+    ref_rows = solo.run_all()[r_solo].rows
+
+    both = ContinuousBatcher(params, cfg, n_slots=2, max_seq=64, chunk=4,
+                             seed=11, disable_eos=True)
+    r_plain = both.submit(bos_prompt(tok), max_events=6)
+    banned_channels = [0, 2, 5]
+    r_banned = both.submit(bos_prompt(tok), max_events=6,
+                           disable_patch_change=True,
+                           disable_control_change=True,
+                           disable_channels=banned_channels)
+    results = both.run_all()
+
+    np.testing.assert_array_equal(results[r_plain].rows, ref_rows)
+
+    banned_ids = {v.event_ids["patch_change"], v.event_ids["control_change"]}
+    chan_base = v.param_base("channel")
+    banned_ids |= {chan_base + c for c in banned_channels}
+    seen = set(np.asarray(results[r_banned].rows).ravel().tolist())
+    assert len(results[r_banned].rows) > 0
+    assert not (seen & banned_ids), seen & banned_ids
+    # a fresh request on the reused slot is unconstrained again
+    r_after = both.submit(bos_prompt(tok), max_events=3)
+    both.run_all()
+    assert np.all(both._allow == 1.0)
+    assert r_after is not None
+
+
 def test_64_slot_fence(setup, monkeypatch):
     """n_slots=64 crashes this environment's TPU compiler: fenced with an
     actionable error at construction (repro: tools/repro_64slot_crash.py)."""
