@@ -133,8 +133,11 @@ def _attention(q, k, v, mask_bias, cached: bool):
 
 
 def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
-           cache_kv: Optional[Tuple[jax.Array, jax.Array]], cache_index):
-    """One decoder layer. Returns (x, (new_k_cache, new_v_cache) or None)."""
+           cache_kv: Optional[Tuple[jax.Array, jax.Array]], cache_index,
+           tp_axis: Optional[str] = None):
+    """One decoder layer. Returns (x, (new_k_cache, new_v_cache) or None).
+    ``tp_axis``: Megatron shard step (see :func:`decode_paged`) — the two
+    row-parallel matmuls psum over the named axis."""
     b, s, d = x.shape
     h, hkv, dh = cfg.num_heads, cfg.kv_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
@@ -181,23 +184,34 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
 
     attn = _attention(q, k, v, mask_bias,
                       cached=cache_kv is not None).reshape(b, s, h * dh)
-    x = x + attn @ lp["wo"]
+    attn_out = attn @ lp["wo"]
+    if tp_axis is not None:
+        attn_out = jax.lax.psum(attn_out, tp_axis)
+    x = x + attn_out
 
     hmlp = rms_norm(x, lp["ln_mlp"], eps)
     gated = jax.nn.silu(hmlp @ lp["w_gate"]) * (hmlp @ lp["w_up"])
-    x = x + gated @ lp["w_down"]
+    down = gated @ lp["w_down"]
+    if tp_axis is not None:
+        down = jax.lax.psum(down, tp_axis)
+    x = x + down
     return x, new_cache
 
 
 def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
             cache: Optional[KVCache] = None, remat: bool = False,
+            tp_axis: Optional[str] = None,
             ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the stack on pre-computed input embeddings.
 
     - without cache: full causal self-attention over ``inputs_embeds [B,S,D]``;
-      ``remat=True`` checkpoints each layer (recompute in backward), trading
-      ~30% more FLOPs for O(layers) less activation memory — required for
-      tv2o-large / long-sequence training.
+      ``remat=True`` checkpoints each layer whole (recompute in backward),
+      trading ~30% more FLOPs for O(layers) less activation memory;
+      ``remat="dots"`` uses the selective ``dots_with_no_batch_dims_saveable``
+      policy instead — matmul outputs are SAVED (no recompute of the MXU
+      work), only the cheap elementwise/norm/softmax chains rematerialize.
+      Much closer to no-remat speed at a fraction of full-remat's memory
+      savings — the right default for tv2o-large on a 16 GB chip.
     - with cache: positions start at ``cache.index``; new KV are written into
       the cache (static max length) and attention spans all valid positions.
 
@@ -231,10 +245,15 @@ def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
     lp = params["layers"]
     if cache is None:
         def body(carry, layer_params):
-            out, _ = _layer(carry, layer_params, cfg, cos, sin, bias, None, None)
+            out, _ = _layer(carry, layer_params, cfg, cos, sin, bias, None,
+                            None, tp_axis)
             return out, None
 
-        if remat:
+        if remat == "dots":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        elif remat:
             body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, lp)
         new_cache = None
@@ -246,7 +265,7 @@ def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
         def body(carry, layer_params):
             out, ck, cv, li = carry
             out, (ck, cv) = _layer(out, layer_params, cfg, cos, sin,
-                                   bias, (ck, cv, li), cache.index)
+                                   bias, (ck, cv, li), cache.index, tp_axis)
             return (out, ck, cv, li + 1), None
 
         (x, nk, nv, _), _ = jax.lax.scan(
@@ -266,9 +285,16 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
                  pools, index: jax.Array,
                  active: Optional[jax.Array] = None, *, page_size: int,
                  pages_per_slot: int, pages_per_compute_block: int = 4,
-                 streaming: bool = True,
+                 streaming: bool = True, tp_axis: Optional[str] = None,
                  ) -> Tuple[jax.Array, "object"]:
     """One-token decode step over paged KV pools (continuous batching).
+
+    ``tp_axis``: a mesh axis name makes this a tensor-parallel shard step
+    (Megatron decode): the caller passes a LOCAL cfg (this shard's heads /
+    intermediate slice), per-shard weight slices (qkv/gate/up column-,
+    o/down row-parallel) and lane-sharded pools; the two row-parallel
+    matmuls psum over the axis so ``x`` stays replicated.  Serves
+    tv2o-large bf16 pools across chips (each holds its heads' pages).
 
     x: [B, D] input embeddings; index: int32 [B] per-slot lengths BEFORE this
     token; active: bool [B] — inactive slots' attention is skipped entirely
@@ -350,10 +376,16 @@ def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,
                  + w_self[..., None] * v_rep)
                 / (w_cache + w_self)[..., None])
 
-        xx = xx + attn.reshape(b, h * dh).astype(xx.dtype) @ lp["wo"]
+        attn_out = attn.reshape(b, h * dh).astype(xx.dtype) @ lp["wo"]
+        if tp_axis is not None:  # row-parallel wo: sum shard partials
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        xx = xx + attn_out
         hm = rms_norm(xx, lp["ln_mlp"], eps)
         gated = jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])
-        xx = xx + gated @ lp["w_down"]
+        down = gated @ lp["w_down"]
+        if tp_axis is not None:  # row-parallel w_down
+            down = jax.lax.psum(down, tp_axis)
+        xx = xx + down
         return (xx, li + 1, pools), None
 
     (x, _, pools), _ = jax.lax.scan(

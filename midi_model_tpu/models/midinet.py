@@ -54,10 +54,13 @@ def embed_events(params: dict, tokens: jax.Array) -> jax.Array:
 
 def forward(params: dict, config: MIDIModelConfig, x: jax.Array,
             cache: Optional[KVCache] = None, remat: bool = False,
+            tp_axis: Optional[str] = None,
             ) -> Tuple[jax.Array, Optional[KVCache]]:
-    """Event net: ``x [B, L, T]`` -> hidden ``[B, L, D]`` (ref forward :137-150)."""
+    """Event net: ``x [B, L, T]`` -> hidden ``[B, L, D]`` (ref forward :137-150).
+    ``tp_axis``: Megatron shard pass — see llama.forward."""
     emb = embed_events(params, x)
-    return llama.forward(params["net"], config.net, emb, cache=cache, remat=remat)
+    return llama.forward(params["net"], config.net, emb, cache=cache,
+                         remat=remat, tp_axis=tp_axis)
 
 
 def forward_token(params: dict, config: MIDIModelConfig,

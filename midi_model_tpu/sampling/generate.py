@@ -69,14 +69,19 @@ def _mask_arrays(table: MaskTable):
             jnp.asarray(table.pad_only))
 
 
-@functools.partial(jax.jit, static_argnames=("config", "max_seq", "kv_int8"))
+@functools.partial(jax.jit, static_argnames=("config", "max_seq", "kv_int8",
+                                             "tp_axis"))
 def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
-            kv_int8: bool = False) -> GenState:
+            kv_int8: bool = False, tp_axis: str = None) -> GenState:
     """Run the event net over the prompt rows, then pack the prompt KV into
     the paged pools (capacity ``max_seq`` rounded up to whole pages).
 
     ``kv_int8`` quantizes the pools (int8 pages + per-token-per-head f32
-    scales): half the cache-read traffic and capacity footprint."""
+    scales): half the cache-read traffic and capacity footprint.
+
+    ``tp_axis``: tensor-parallel shard pass (sharded.tp_local_config builds
+    the local ``config``; weights arrive as this shard's slices; the pools
+    come out holding only this shard's heads)."""
     from ..ops.paged_allheads import (alloc_pools, combine_scales, pack_heads,
                                       quantize_packed)
 
@@ -92,7 +97,8 @@ def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
     pps = -(-pps // 4) * 4
     n_pre = -(-p_len // ps)
     scratch = KVCache.zeros(net, b, n_pre * ps, dtype=dtype)
-    hidden, scratch = midinet.forward(params, config, prompt, cache=scratch)
+    hidden, scratch = midinet.forward(params, config, prompt, cache=scratch,
+                                      tp_axis=tp_axis)
 
     l_n, hkv, dh = net.num_layers, net.kv_heads, net.head_dim
     pools = alloc_pools(hkv, l_n * b * pps, ps, dh, dtype,
@@ -211,7 +217,7 @@ def decode_token_row_any(params, config: MIDIModelConfig, hidden: jax.Array,
 
 def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
                       masks, temp, top_p, top_k, key, greedy: bool,
-                      fused=None):
+                      fused=None, tp_axis=None):
     """Sample one full row (8 tokens) and advance the event cache.
 
     ``fused`` (ops.fused_step.prepare_fused output, hoisted outside the
@@ -239,21 +245,25 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
     else:
         # split path: uniform lengths favor the per-cell kernel (no
         # work-table indirection); the streaming kernel wins on the
-        # batcher's ragged short lengths (serve/batcher.py)
+        # batcher's ragged short lengths (serve/batcher.py).  The
+        # tensor-parallel step also lives here: its two per-layer psums
+        # must run between XLA ops, which the whole-step kernel cannot.
         h, pools = llama.decode_paged(
             params["net"], config.net, emb[:, 0], state.pools,
-            index, page_size=ps, pages_per_slot=pps, streaming=False)
+            index, page_size=ps, pages_per_slot=pps, streaming=False,
+            tp_axis=tp_axis)
     return state._replace(pools=pools, hidden=h,
                           cur_len=state.cur_len + 1,
                           all_eos=jnp.all(ended)), row
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "n_events_chunk", "greedy"),
+                   static_argnames=("config", "n_events_chunk", "greedy",
+                                    "tp_axis"),
                    donate_argnums=(2,))
 def decode_events(params, config: MIDIModelConfig, state: GenState, masks,
                   n_events_chunk: int, temp, top_p, top_k, key,
-                  greedy: bool = False):
+                  greedy: bool = False, tp_axis: str = None):
     """Decode up to ``n_events_chunk`` rows in one device dispatch.
 
     Stops early (masked no-op iterations) once every batch row emitted eos in
@@ -274,7 +284,8 @@ def decode_events(params, config: MIDIModelConfig, state: GenState, masks,
     # whole-step fused kernel (TPU/bf16/MHA): prepared ONCE per chunk here,
     # outside the event loop, so the qkv/gate-up concats never run per event
     fused = (_fs.prepare_fused(params["net"])
-             if _fs.usable(params, config, state.pools) else None)
+             if tp_axis is None and _fs.usable(params, config, state.pools)
+             else None)
 
     def cond(carry):
         state, _, step = carry
@@ -285,7 +296,7 @@ def decode_events(params, config: MIDIModelConfig, state: GenState, masks,
         step_key = jax.random.fold_in(key, step)
         state, row = _decode_one_event(params, config, state, masks, temp,
                                        top_p, top_k, step_key, greedy,
-                                       fused=fused)
+                                       fused=fused, tp_axis=tp_axis)
         rows = jax.lax.dynamic_update_slice(rows, row[:, None, :], (0, step, 0))
         return state, rows, step + 1
 

@@ -159,3 +159,154 @@ def generate_dp(params, config: MIDIModelConfig, mesh: Mesh,
         if bool(np.asarray(state.all_eos).all()) or n_max < n:
             break
     return np.concatenate(pieces, axis=1)
+
+
+# ---- tensor-parallel decode (model axis) --------------------------------
+#
+# Data-parallel serving replicates the weights and pools per chip; tv2o-large
+# bf16 pools at high slot counts exceed one 16 GB chip (BASELINE.md config
+# 5).  The model-axis path shards HEADS and the MLP intermediate across
+# chips Megatron-style: qkv/gate/up column-parallel, o/down row-parallel
+# with one psum each per layer ([B, D] messages over ICI), the paged pools
+# lane-sharded so each chip stores and streams only its heads' pages.  The
+# token net + sampler are replicated (identical inputs -> identical rows on
+# every shard; they are ~15% of decode FLOPs).  Uses the split per-layer
+# decode path: the whole-step fused kernel cannot psum between layers.
+
+def tp_local_config(config: MIDIModelConfig, tp: int) -> MIDIModelConfig:
+    """The per-shard view of the event net: heads / kv heads / intermediate
+    divided by ``tp`` (hidden width and the token net stay global)."""
+    import dataclasses
+
+    net = config.net
+    if net.num_heads % tp or net.kv_heads % tp or net.intermediate_size % tp:
+        raise ValueError(f"tp={tp} must divide heads ({net.num_heads}), "
+                         f"kv heads ({net.kv_heads}) and intermediate "
+                         f"({net.intermediate_size})")
+    local = dataclasses.replace(net, num_heads=net.num_heads // tp,
+                                num_kv_heads=net.kv_heads // tp,
+                                intermediate_size=net.intermediate_size // tp,
+                                head_dim_override=net.head_dim)
+    return dataclasses.replace(config, net=local)
+
+
+def tp_param_specs() -> dict:
+    """PartitionSpecs shard_map uses for the weight pytree (Megatron event
+    net; token net + lm_head replicated)."""
+    from ..parallel.mesh import MODEL_AXIS as M
+
+    ev_layers = {
+        "wq": P(None, None, M), "wk": P(None, None, M), "wv": P(None, None, M),
+        "wo": P(None, M, None),
+        "w_gate": P(None, None, M), "w_up": P(None, None, M),
+        "w_down": P(None, M, None),
+        "ln_attn": P(), "ln_mlp": P(),
+    }
+    rep_layers = {k: P() for k in ev_layers}
+    return {
+        "net": {"layers": ev_layers, "final_norm": P(), "embed": P()},
+        "net_token": {"layers": rep_layers, "final_norm": P(), "embed": P()},
+        "lm_head": P(),
+    }
+
+
+def tp_shard_params(params, mesh: Mesh):
+    """Place the weight pytree on the mesh under :func:`tp_param_specs`."""
+    from jax.sharding import NamedSharding
+
+    specs = tp_param_specs()
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def _tp_state_specs():
+    """bf16 pools lane-sharded over the model axis (int8 pools are not
+    supported under tp: the combined k+v scale rows interleave heads in one
+    128-lane row, which does not split on a head boundary)."""
+    from ..ops.paged_allheads import PagedPools
+    from ..parallel.mesh import MODEL_AXIS as M
+
+    pools = PagedPools(k=P(None, None, M), v=P(None, None, M), scales=None)
+    return GenState(pools=pools, hidden=P(), cur_len=P(), all_eos=P())
+
+
+def prefill_tp(params, config: MIDIModelConfig, prompt: jax.Array,
+               max_seq: int, mesh: Mesh) -> GenState:
+    """Tensor-parallel prefill: every shard runs the event net on its head/
+    mlp slices (two psums per layer) and packs pools holding only its heads."""
+    from ..parallel.mesh import MODEL_AXIS
+
+    tp = mesh.shape[MODEL_AXIS]
+    local = tp_local_config(config, tp)
+    specs = _tp_state_specs()
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(tp_param_specs(), P()),
+        out_specs=specs)
+    def run(params, prompt):
+        return prefill(params, local, prompt, max_seq, tp_axis=MODEL_AXIS)
+
+    return run(params, prompt)
+
+
+def decode_events_tp(params, config: MIDIModelConfig, state: GenState, masks,
+                     n_events_chunk: int, temp, top_p, top_k, key,
+                     mesh: Mesh, greedy: bool = False):
+    """Tensor-parallel decode chunk: per-layer Megatron step over the model
+    axis; rows/sampling are replicated (bit-identical on every shard)."""
+    from ..parallel.mesh import MODEL_AXIS
+
+    tp = mesh.shape[MODEL_AXIS]
+    local = tp_local_config(config, tp)
+    specs = _tp_state_specs()
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(tp_param_specs(), specs, (P(), P(), P()), P()),
+        out_specs=(specs, P(), P()))
+    def run(params, state, masks, key):
+        return decode_events(params, local, state, masks, n_events_chunk,
+                             temp, top_p, top_k, key, greedy=greedy,
+                             tp_axis=MODEL_AXIS)
+
+    return run(params, state, tuple(masks), key)
+
+
+def generate_tp(params, config: MIDIModelConfig, mesh: Mesh,
+                prompt: Optional[np.ndarray] = None, batch_size: int = 32,
+                max_len: int = 512, temp: float = 1.0, top_p: float = 0.98,
+                top_k: int = 20, seed: int = 0, greedy: bool = False,
+                chunk_size: Optional[int] = None,
+                context_limit: int = 4096) -> np.ndarray:
+    """Host-facing tensor-parallel generation (params already placed by
+    :func:`tp_shard_params`; batch replicated, pools lane-sharded)."""
+    tokenizer = config.tokenizer
+    prompt = normalize_prompt(tokenizer, prompt, batch_size)
+    head = prompt[:, : max(0, prompt.shape[1] - context_limit)]
+    prompt = prompt[:, -context_limit:]
+    b, p_len, t_max = prompt.shape
+    if p_len >= max_len:
+        return np.concatenate([head, prompt], axis=1) if head.shape[1] else prompt
+    masks = _mask_arrays(build_mask_table(tokenizer))
+    remaining = max_len - p_len
+    chunk = chunk_size or remaining
+    state = prefill_tp(params, config, jnp.asarray(prompt), max_len, mesh)
+    key = jax.random.PRNGKey(seed)
+    pieces = [head, prompt] if head.shape[1] else [prompt]
+    produced = 0
+    while produced < remaining:
+        n = min(chunk, remaining - produced)
+        key, sub = jax.random.split(key)
+        state, rows, n_done = decode_events_tp(
+            params, config, state, masks, n, temp, top_p, top_k, sub, mesh,
+            greedy=greedy)
+        n_done = int(n_done)
+        if n_done:
+            pieces.append(np.asarray(rows[:, :n_done]))
+        produced += n
+        if bool(np.asarray(state.all_eos)) or n_done < n:
+            break
+    return np.concatenate(pieces, axis=1)

@@ -89,3 +89,38 @@ def test_generate_dp_matches_single_chip_shard(small):
         jax.random.fold_in(sub, 0))
     rows = np.asarray(rows[:, : int(n_done)])
     np.testing.assert_array_equal(out[:2, 1:1 + rows.shape[1]], rows)
+
+
+# ---- tensor-parallel decode (model axis) --------------------------------
+
+def test_generate_tp_matches_single_chip():
+    """tp=2 Megatron decode (heads + mlp sharded, lane-sharded pools, two
+    psums per layer) reproduces single-device greedy generation token for
+    token (VERDICT round 2 stretch #9: model-sharded decode for large)."""
+    from midi_model_tpu.sampling.generate import generate
+    from midi_model_tpu.sampling.sharded import generate_tp, tp_shard_params
+
+    # head geometry that splits cleanly: 8 heads x 32 dims, local 4x32=128
+    # lanes (head_stride invariant under the split); mlp 256 -> 128/shard
+    config = MIDIModelConfig.get_config("v2", True, n_layer=4, n_head=8,
+                                        n_embd=256, n_inner=256)
+    params = midinet.init_params(jax.random.PRNGKey(0), config)
+    ref = generate(params, config, batch_size=2, max_len=10, greedy=True)
+
+    mesh = make_mesh(jax.devices()[:2], dp=1, tp=2)
+    sharded = tp_shard_params(params, mesh)
+    out = generate_tp(sharded, config, mesh, batch_size=2, max_len=10,
+                      greedy=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_tp_local_config_validation():
+    from midi_model_tpu.sampling.sharded import tp_local_config
+
+    config = MIDIModelConfig.get_config("v2", True, n_layer=4, n_head=8,
+                                        n_embd=256, n_inner=256)
+    local = tp_local_config(config, 2)
+    assert local.net.num_heads == 4 and local.net.intermediate_size == 128
+    assert local.net.hidden_size == config.net.hidden_size
+    with pytest.raises(ValueError, match="must divide"):
+        tp_local_config(config, 3)
