@@ -84,9 +84,10 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
         k_pool_ref, v_pool_ref,
         xout_ref, k_out_ref, v_out_ref,
         xs_ref, kbuf, vbuf, sems, kwbuf, vwbuf, wsem,
+        accs_ref, ms_ref, ls_ref,
         *, batch: int, num_heads: int, head_dim: int, hidden: int,
         inter: int, page_size: int, ppcb: int, pages_per_slot: int,
-        n_layers: int, eps: float):
+        n_layers: int, eps: float, uniform_append: bool):
     b, d = batch, hidden
     w = k_pool_ref.shape[-1]  # == num_heads * head_dim
     f = inter
@@ -133,18 +134,38 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
     qsb = qs32.astype(dtype)
 
     # ---- fresh-row RMW append: start the tile reads now ------------------
+    # pools arrive as a 4D [L*B, pages_per_slot, page, w] view, so with
+    # ``uniform_append`` (the aligned path: every slot writes the same page
+    # offset) ALL slots' 8-row tiles are ONE strided DMA — [B, 8, w] with a
+    # pages_per_slot*page stride between slots — instead of B separate
+    # issues+waits per tensor per layer (2*B*L DMA issues per event, a
+    # measurable share of the kernel's fixed cost at bs=32).
     def wtile(ref, s):
         wp = wpos_ref[s]
-        page = (li * batch + s) * pages_per_slot + wp // page_size
         wbase = pl.multiple_of((wp % page_size) // RMW_ROWS * RMW_ROWS,
                                RMW_ROWS)
-        return ref.at[page, pl.ds(wbase, RMW_ROWS)]
+        return ref.at[li * batch + s, wp // page_size,
+                      pl.ds(wbase, RMW_ROWS)]
 
-    for s in range(b):
-        pltpu.make_async_copy(wtile(k_out_ref, s), kwbuf.at[s],
-                              wsem.at[s, 0]).start()
-        pltpu.make_async_copy(wtile(v_out_ref, s), vwbuf.at[s],
-                              wsem.at[s, 1]).start()
+    if uniform_append:
+        wp0 = wpos_ref[0]
+        wbase0 = pl.multiple_of((wp0 % page_size) // RMW_ROWS * RMW_ROWS,
+                                RMW_ROWS)
+
+        def wtile_all(ref):
+            return ref.at[pl.ds(li * batch, batch), wp0 // page_size,
+                          pl.ds(wbase0, RMW_ROWS)]
+
+        pltpu.make_async_copy(wtile_all(k_out_ref), kwbuf,
+                              wsem.at[0, 0]).start()
+        pltpu.make_async_copy(wtile_all(v_out_ref), vwbuf,
+                              wsem.at[0, 1]).start()
+    else:
+        for s in range(b):
+            pltpu.make_async_copy(wtile(k_out_ref, s), kwbuf.at[s],
+                                  wsem.at[s, 0]).start()
+            pltpu.make_async_copy(wtile(v_out_ref, s), vwbuf.at[s],
+                                  wsem.at[s, 1]).start()
 
     # ---- paged flash attention over the cached history -------------------
     # The slot loop is STATICALLY UNROLLED (batch is a compile-time
@@ -153,19 +174,43 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
     # alignment for those), and the flash state never leaves registers.
     total = total_ref[0]
 
-    def copy_block(i, slot):
-        s = slot_tbl_ref[i]
-        start = (li * batch + s) * pages_per_slot + blk_tbl_ref[i] * ppcb
-        pltpu.make_async_copy(k_pool_ref.at[pl.ds(start, ppcb)],
-                              kbuf.at[slot], sems.at[slot, 0]).start()
-        pltpu.make_async_copy(v_pool_ref.at[pl.ds(start, ppcb)],
-                              vbuf.at[slot], sems.at[slot, 1]).start()
+    # Tail blocks are DMA'd at EXACT page granularity: a slot's last compute
+    # block covers up to ppcb pages but only ``ceil(len/page) - blk*ppcb`` of
+    # them hold live rows — copying the full block reads ~96 masked rows per
+    # slot-layer on average (~150 MB/event at bs=32, ~15% of all cache
+    # traffic).  Dynamic-SIZE DMAs don't exist, so the size is selected by
+    # ``pl.when`` over the ppcb static variants (one DMA issued either way;
+    # the wait recomputes the same size so the semaphore bytes match).
+    def blk_pages(i):
+        need = ((lengths_ref[slot_tbl_ref[i]] + page_size - 1) // page_size
+                - blk_tbl_ref[i] * ppcb)
+        return jnp.clip(need, 1, ppcb)
 
-    def wait_block(slot):
-        pltpu.make_async_copy(k_pool_ref.at[pl.ds(0, ppcb)], kbuf.at[slot],
-                              sems.at[slot, 0]).wait()
-        pltpu.make_async_copy(v_pool_ref.at[pl.ds(0, ppcb)], vbuf.at[slot],
-                              sems.at[slot, 1]).wait()
+    def copy_block(i, slot):
+        row = li * batch + slot_tbl_ref[i]
+        blk0 = blk_tbl_ref[i] * ppcb
+        kp = blk_pages(i)
+        for k in range(1, ppcb + 1):
+            @pl.when(kp == k)
+            def _(k=k):
+                pltpu.make_async_copy(k_pool_ref.at[row, pl.ds(blk0, k)],
+                                      kbuf.at[slot, pl.ds(0, k)],
+                                      sems.at[slot, 0]).start()
+                pltpu.make_async_copy(v_pool_ref.at[row, pl.ds(blk0, k)],
+                                      vbuf.at[slot, pl.ds(0, k)],
+                                      sems.at[slot, 1]).start()
+
+    def wait_block(i, slot):
+        kp = blk_pages(i)
+        for k in range(1, ppcb + 1):
+            @pl.when(kp == k)
+            def _(k=k):
+                pltpu.make_async_copy(k_pool_ref.at[0, pl.ds(0, k)],
+                                      kbuf.at[slot, pl.ds(0, k)],
+                                      sems.at[slot, 0]).wait()
+                pltpu.make_async_copy(v_pool_ref.at[0, pl.ds(0, k)],
+                                      vbuf.at[slot, pl.ds(0, k)],
+                                      sems.at[slot, 1]).wait()
 
     # G[w, h] = 1 iff lane w belongs to head h (MHA: head = w // head_dim)
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (w, num_heads), 0)
@@ -181,11 +226,9 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
         copy_block(0, 0)
 
     i0 = jnp.zeros((), jnp.int32)
-    attn_rows = []
     for s in range(b):
         length = lengths_ref[s]
         n_b = (length + bk - 1) // bk
-        q_row32 = qs32[s:s + 1, :]  # [1, W] f32 (pre-scaled)
         q_rowb = qsb[s:s + 1, :].astype(jnp.float32)  # bf16-rounded, f32
 
         def blk_loop(j, carry, i0=i0, length=length, q_rowb=q_rowb):
@@ -197,7 +240,7 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
             def _():
                 copy_block(i + 1, 1 - slot)
 
-            wait_block(slot)
+            wait_block(i, slot)
             k_blk = kbuf[slot].reshape(bk, w)
             # (k ⊙ q) @ G: identical f32 products and contraction
             # positions as the standalone kernel's k @ q_diag
@@ -214,7 +257,12 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
             l = l * alpha
             pexp = jnp.exp(sc - m_new.T)  # [bk, H] f32
             l = l + jnp.sum(pexp, axis=0)[:, None]
+            # rows in pages the tail DMA skipped hold garbage (NaN in
+            # interpret mode): pexp there is 0, but 0*NaN = NaN in the AV
+            # contraction — zero the dead V rows explicitly
             v_blk = vbuf[slot].reshape(bk, w)
+            v_blk = jnp.where(row[:, :1] < length, v_blk,
+                              jnp.zeros_like(v_blk))
             acc = acc + jax.lax.dot(
                 pexp.astype(v_blk.dtype), v_blk,
                 preferred_element_type=jnp.float32,
@@ -226,30 +274,48 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
                 jnp.zeros((num_heads, 1), jnp.float32))
         acc, m, l = jax.lax.fori_loop(0, n_b, blk_loop, init)
         i0 = i0 + n_b
+        # park the flash state in scratch; the self-term merge runs ONCE,
+        # batched over all slots (the per-slot merge was ~6 tiny MXU ops x
+        # B slots x L layers of serial latency — a large share of the
+        # kernel's fixed cost — and kept B [1, W] rows live to the end)
+        accs_ref[s] = acc
+        ms_ref[s:s + 1, :] = m.T
+        ls_ref[s:s + 1, :] = l.T
 
-        # ---- self-term merge for this slot (flash state in registers) ----
-        # each head's context is its own diagonal head_dim-lane block of
-        # the normalized accumulator (lane_l broadcasts l over the block)
-        lane_l = jax.lax.dot(l.T, gt32,
-                             preferred_element_type=jnp.float32)  # [1, W]
-        # diagonal head blocks of acc via mask+sublane-reduce (a concat of
-        # per-head slices has per-slice layouts Mosaic cannot merge)
-        o_diag = jnp.sum(acc * gt32, axis=0, keepdims=True) \
-            / jnp.maximum(lane_l, 1e-30)
-        s_self = jax.lax.dot(q_row32 * kr.astype(jnp.float32)[s:s + 1, :],
-                             gmask32,
-                             preferred_element_type=jnp.float32)  # [1, H]
-        mt = m.T  # [1, H]
-        m2 = jnp.maximum(mt, s_self)
-        w_cache = l.T * jnp.exp(mt - m2)  # [1, H]
-        w_self = jnp.exp(s_self - m2)
-        # broadcast per-head weights over their head_dim-lane blocks via G^T
-        wc = jax.lax.dot(w_cache, gt32, preferred_element_type=jnp.float32)
-        ws = jax.lax.dot(w_self, gt32, preferred_element_type=jnp.float32)
-        vf = v.astype(jnp.float32)[s:s + 1, :]
-        attn_rows.append((wc * o_diag + ws * vf) / (wc + ws))
-
-    attn = jnp.concatenate(attn_rows, axis=0)  # [B, W] f32
+    # ---- batched self-term merge (all slots, a handful of [B, *] ops) ----
+    # each head's context is its own diagonal head_dim-lane block of the
+    # normalized accumulator.  Every contraction below sums the SAME f32
+    # products at the same positions as the old per-slot [1, W] ops, so the
+    # result is bit-identical; the diagonal extraction sums exactly one
+    # nonzero term per (slot, lane), so MXU-vs-VPU order cannot differ.
+    acc2d = accs_ref[...].reshape(b * num_heads, w)
+    # gt tiled over slots: row r of acc2d belongs to head r % H
+    gt_tiled = (jax.lax.broadcasted_iota(jnp.int32, (b * num_heads, w), 1)
+                // head_dim
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (b * num_heads, w), 0) % num_heads
+                ).astype(jnp.float32)
+    # SEL[s, r] = 1 iff row r belongs to slot s: sums the H masked rows
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (b, b * num_heads), 1)
+           // num_heads
+           == jax.lax.broadcasted_iota(jnp.int32, (b, b * num_heads), 0)
+           ).astype(jnp.float32)
+    ls2d = ls_ref[...]  # [B, H]
+    ms2d = ms_ref[...]
+    lane_l = jax.lax.dot(ls2d, gt32,
+                         preferred_element_type=jnp.float32)  # [B, W]
+    o_diag = jax.lax.dot(sel, acc2d * gt_tiled,
+                         preferred_element_type=jnp.float32) \
+        / jnp.maximum(lane_l, 1e-30)
+    s_self = jax.lax.dot(qs32 * kr.astype(jnp.float32), gmask32,
+                         preferred_element_type=jnp.float32)  # [B, H]
+    m2 = jnp.maximum(ms2d, s_self)
+    w_cache = ls2d * jnp.exp(ms2d - m2)  # [B, H]
+    w_self = jnp.exp(s_self - m2)
+    # broadcast per-head weights over their head_dim-lane blocks via G^T
+    wc = jax.lax.dot(w_cache, gt32, preferred_element_type=jnp.float32)
+    ws = jax.lax.dot(w_self, gt32, preferred_element_type=jnp.float32)
+    attn = (wc * o_diag + ws * v.astype(jnp.float32)) / (wc + ws)  # [B, W]
     x = x + _mm(attn.astype(dtype), wo_ref[0])
 
     # ---- MLP -------------------------------------------------------------
@@ -265,6 +331,29 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
         xout_ref[...] = x
 
     # ---- finish the RMW append ------------------------------------------
+    if uniform_append:
+        off0 = wp0 % page_size - wbase0
+        sel = jax.lax.broadcasted_iota(
+            jnp.int32, (b, RMW_ROWS, w), 1) == off0
+        pltpu.make_async_copy(wtile_all(k_out_ref), kwbuf,
+                              wsem.at[0, 0]).wait()
+        kwbuf[...] = jnp.where(
+            sel, jnp.broadcast_to(kr[:, None, :], (b, RMW_ROWS, w)),
+            kwbuf[...])
+        pltpu.make_async_copy(kwbuf, wtile_all(k_out_ref),
+                              wsem.at[0, 0]).start()
+        pltpu.make_async_copy(wtile_all(v_out_ref), vwbuf,
+                              wsem.at[0, 1]).wait()
+        vwbuf[...] = jnp.where(
+            sel, jnp.broadcast_to(v[:, None, :], (b, RMW_ROWS, w)),
+            vwbuf[...])
+        pltpu.make_async_copy(vwbuf, wtile_all(v_out_ref),
+                              wsem.at[0, 1]).start()
+        pltpu.make_async_copy(kwbuf, wtile_all(k_out_ref),
+                              wsem.at[0, 0]).wait()
+        pltpu.make_async_copy(vwbuf, wtile_all(v_out_ref),
+                              wsem.at[0, 1]).wait()
+        return
     for s in range(b):
         wp = wpos_ref[s]
         off = wp % page_size - (wp % page_size) // RMW_ROWS * RMW_ROWS
@@ -306,16 +395,21 @@ def prepare_fused(net_params: dict):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "page_size",
                                              "pages_per_slot", "ppcb",
-                                             "interpret"))
+                                             "uniform_append", "interpret"))
 def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
                       index: jax.Array, active=None, *,
                       page_size: int, pages_per_slot: int, ppcb: int = 4,
-                      interpret: bool = False):
+                      uniform_append: bool = False, interpret: bool = False):
     """Drop-in replacement for ``llama.decode_paged`` on the TPU hot path.
 
     fused: :func:`prepare_fused` output; x: [B, D] embeddings; index:
     int32 [B] per-slot lengths BEFORE this token.  Returns (hidden [B, D]
     after the final norm, updated pools).  bf16 MHA pools only.
+
+    ``uniform_append``: caller guarantees every slot writes the same page
+    offset (``index`` is a broadcast scalar — the aligned decode loop); the
+    fresh-row RMW then runs as ONE strided [B, 8, w] DMA per tensor per
+    layer instead of B separate issues+waits.
     """
     b, d = x.shape
     l_n, _, w3 = fused["wqkv"].shape
@@ -357,7 +451,16 @@ def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
     kernel = functools.partial(
         _fused_step_kernel, batch=b, num_heads=num_heads, head_dim=head_dim,
         hidden=d, inter=f2 // 2, page_size=page_size, ppcb=ppcb,
-        pages_per_slot=pages_per_slot, n_layers=l_n, eps=cfg.rms_norm_eps)
+        pages_per_slot=pages_per_slot, n_layers=l_n, eps=cfg.rms_norm_eps,
+        uniform_append=uniform_append)
+
+    # 4D slot-major pool view: [L*B, pages_per_slot, page, w] — the RMW
+    # append addresses all slots' tiles as one strided slice, and block
+    # copies index (slot-row, page) instead of a flat page offset
+    pool_shape = pools.k.shape
+    assert pool_shape[0] == l_n * b * pages_per_slot, pool_shape
+    k4 = pools.k.reshape(l_n * b, pages_per_slot, page_size, -1)
+    v4 = pools.v.reshape(l_n * b, pages_per_slot, page_size, -1)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
@@ -383,6 +486,9 @@ def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
             pltpu.VMEM((b, RMW_ROWS, w), pools.k.dtype),  # k RMW tiles
             pltpu.VMEM((b, RMW_ROWS, w), pools.v.dtype),  # v RMW tiles
             pltpu.SemaphoreType.DMA((b, 2)),
+            pltpu.VMEM((b, num_heads, w), jnp.float32),   # parked flash accs
+            pltpu.VMEM((b, num_heads), jnp.float32),      # parked flash m
+            pltpu.VMEM((b, num_heads), jnp.float32),      # parked flash l
         ],
     )
     # weight blocks double-buffer across the layer grid: 2 x per-layer
@@ -395,7 +501,8 @@ def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
                  for n in ("wqkv", "wo", "wgu", "wd", "ln"))
     wbytes *= jnp.dtype(dtype).itemsize
     scratch_bytes = b * d * 2 + 2 * 2 * bk * w * 2 \
-        + 2 * b * RMW_ROWS * w * 2
+        + 2 * b * RMW_ROWS * w * 2 \
+        + b * num_heads * (w + 2) * 4  # parked flash state
     vmem_limit = 2 * int(wbytes) + int(scratch_bytes) + _SLACK_BYTES
 
     xout, k_out, v_out = pl.pallas_call(
@@ -403,8 +510,8 @@ def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, d), dtype),
-            jax.ShapeDtypeStruct(pools.k.shape, pools.k.dtype),
-            jax.ShapeDtypeStruct(pools.v.shape, pools.v.dtype),
+            jax.ShapeDtypeStruct(k4.shape, k4.dtype),
+            jax.ShapeDtypeStruct(v4.shape, v4.dtype),
         ],
         input_output_aliases={13: 1, 14: 2},  # 5 scalars + 8 ins before pools
         compiler_params=pltpu.CompilerParams(
@@ -413,12 +520,13 @@ def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
         interpret=interpret,
     )(lengths, slot_tbl, blk_tbl, total, wpos,
       x.astype(dtype), fused["wqkv"], fused["wo"], fused["wgu"], fused["wd"],
-      fused["ln"], cos, sin, pools.k, pools.v)
+      fused["ln"], cos, sin, k4, v4)
 
     from ..models.llama import rms_norm
 
     hidden = rms_norm(xout, fused["final_norm"], cfg.rms_norm_eps)
-    return hidden, PagedPools(k=k_out, v=v_out)
+    return hidden, PagedPools(k=k_out.reshape(pool_shape),
+                              v=v_out.reshape(pool_shape))
 
 
 _ENABLED = True

@@ -257,16 +257,35 @@ def _decode_kernel_cell(*args, page_size: int, ppcb: int, pages_per_slot: int,
     l_ref[...] = jnp.zeros_like(l_ref)
     o_ref[...] = jnp.zeros_like(o_ref)
 
+    # The tail block is DMA'd at EXACT page granularity: only
+    # ``ceil(len/page) - i*ppcb`` of its pages hold live rows (static-size
+    # variants via pl.when — dynamic-size DMAs don't exist; the wait
+    # recomputes the size so the semaphore byte counts match).
+    n_live_pages = pl.cdiv(length, page_size)
+
+    def blk_pages(i):
+        return jnp.clip(n_live_pages - i * ppcb, 1, ppcb)
+
     def copy_block(i, slot):
         start = base + i * ppcb
-        for j, (src, dst) in enumerate(zip(pools_in, bufs)):
-            pltpu.make_async_copy(src.at[pl.ds(start, ppcb)], dst.at[slot],
-                                  sems.at[slot, j]).start()
+        kp = blk_pages(i)
+        for k in range(1, ppcb + 1):
+            @pl.when(kp == k)
+            def _(k=k):
+                for j, (src, dst) in enumerate(zip(pools_in, bufs)):
+                    pltpu.make_async_copy(src.at[pl.ds(start, k)],
+                                          dst.at[slot, pl.ds(0, k)],
+                                          sems.at[slot, j]).start()
 
-    def wait_block(slot):
-        for j, (src, dst) in enumerate(zip(pools_in, bufs)):
-            pltpu.make_async_copy(src.at[pl.ds(0, ppcb)], dst.at[slot],
-                                  sems.at[slot, j]).wait()
+    def wait_block(i, slot):
+        kp = blk_pages(i)
+        for k in range(1, ppcb + 1):
+            @pl.when(kp == k)
+            def _(k=k):
+                for j, (src, dst) in enumerate(zip(pools_in, bufs)):
+                    pltpu.make_async_copy(src.at[pl.ds(0, k)],
+                                          dst.at[slot, pl.ds(0, k)],
+                                          sems.at[slot, j]).wait()
 
     def scale_router(offset):
         # [LANE, H] 0/1 matrix: scale_page @ E -> [ps, H] per-query-head
@@ -288,7 +307,7 @@ def _decode_kernel_cell(*args, page_size: int, ppcb: int, pages_per_slot: int,
             def _():
                 copy_block(i + 1, 1 - slot)
 
-            wait_block(slot)
+            wait_block(i, slot)
             qd = qd_ref[...]  # [W, H]
             block_m = jnp.full((num_heads, 1), -jnp.inf, jnp.float32)
             block_scores = []
@@ -316,14 +335,22 @@ def _decode_kernel_cell(*args, page_size: int, ppcb: int, pages_per_slot: int,
             for p in range(ppcb):
                 pexp = jnp.exp(block_scores[p] - m_new.T)  # [ps, H]
                 l = l + jnp.sum(pexp, axis=0)[:, None]
+                # pages the tail DMA skipped hold garbage (NaN in interpret
+                # mode); pexp there is 0 but 0*NaN = NaN in the AV
+                # contraction — zero both factors on dead rows
+                rowp = (i * ppcb + p) * page_size + jax.lax.broadcasted_iota(
+                    jnp.int32, (page_size, 1), 0)
                 v_page = vbuf[slot, p]  # [ps, W]
+                v_page = jnp.where(rowp < length, v_page,
+                                   jnp.zeros_like(v_page))
                 if quantized:
                     # fold the v scale into the attention weights: only each
                     # head's own kv-head block of the [H, W] accumulator is
                     # ever read, so pexp * v_scale[t, kv(h)] dequantizes it
+                    # (vs is garbage on dead rows — re-mask)
                     vs = jax.lax.dot(sbuf[slot, p], scale_router(kv_heads),
                                      preferred_element_type=jnp.float32)
-                    pexp = pexp * vs
+                    pexp = jnp.where(rowp < length, pexp * vs, 0.0)
                     v_page = v_page.astype(jnp.bfloat16)
                 acc = acc + jax.lax.dot(
                     pexp.astype(v_page.dtype), v_page,
@@ -382,10 +409,11 @@ def _decode_kernel_stream(*args, page_size: int, ppcb: int, pages_per_slot: int,
     attention stream), blended and written back at the end.
     """
     n_pools = 3 if quantized else 2
-    n_scalars = 6 if append else 4
+    n_scalars = 7 if append else 5
     scalars, rest = args[:n_scalars], args[n_scalars:]
     lengths_ref, base_pages_ref = scalars[0], scalars[1]
     start_tbl_ref, total_ref = scalars[2], scalars[3]
+    pages_tbl_ref = scalars[4]
     qd_ref = rest[0]
     pools_in = rest[1:1 + n_pools]
     news = rest[1 + n_pools:1 + n_pools + (n_pools if append else 0)]
@@ -406,7 +434,7 @@ def _decode_kernel_stream(*args, page_size: int, ppcb: int, pages_per_slot: int,
     groups = num_heads // kv_heads
 
     if append:
-        wp_ref, wo_ref = scalars[4], scalars[5]
+        wp_ref, wo_ref = scalars[5], scalars[6]
 
         def rmw(s, j, direction):
             wbase = pl.multiple_of(
@@ -431,16 +459,33 @@ def _decode_kernel_stream(*args, page_size: int, ppcb: int, pages_per_slot: int,
     ms_ref[...] = jnp.full_like(ms_ref, -jnp.inf)
     ls_ref[...] = jnp.zeros_like(ls_ref)
 
+    # Tail blocks are DMA'd at EXACT page granularity (``pages_tbl``,
+    # precomputed by the caller): copying the full ppcb-page block reads
+    # masked rows the flash loop immediately discards — at the batcher's
+    # ragged short lengths the tail block IS most blocks, so the saving is
+    # a large share of all cache traffic.  Static-size variants selected by
+    # ``pl.when`` (dynamic-size DMAs don't exist); the wait recomputes the
+    # same size so the semaphore byte counts match.
     def copy_block(i, slot):
         start = start_tbl_ref[i]  # precomputed flat page index (one load)
-        for j, (src, dst) in enumerate(zip(pools_in, bufs)):
-            pltpu.make_async_copy(src.at[pl.ds(start, ppcb)], dst.at[slot],
-                                  sems.at[slot, j]).start()
+        kp = pages_tbl_ref[i]
+        for k in range(1, ppcb + 1):
+            @pl.when(kp == k)
+            def _(k=k):
+                for j, (src, dst) in enumerate(zip(pools_in, bufs)):
+                    pltpu.make_async_copy(src.at[pl.ds(start, k)],
+                                          dst.at[slot, pl.ds(0, k)],
+                                          sems.at[slot, j]).start()
 
-    def wait_block(slot):
-        for j, (src, dst) in enumerate(zip(pools_in, bufs)):
-            pltpu.make_async_copy(src.at[pl.ds(0, ppcb)], dst.at[slot],
-                                  sems.at[slot, j]).wait()
+    def wait_block(i, slot):
+        kp = pages_tbl_ref[i]
+        for k in range(1, ppcb + 1):
+            @pl.when(kp == k)
+            def _(k=k):
+                for j, (src, dst) in enumerate(zip(pools_in, bufs)):
+                    pltpu.make_async_copy(src.at[pl.ds(0, k)],
+                                          dst.at[slot, pl.ds(0, k)],
+                                          sems.at[slot, j]).wait()
 
     def scale_router(offset):
         # [LANE, H] 0/1 matrix: scale_page @ E -> [ps, H] per-query-head
@@ -475,7 +520,7 @@ def _decode_kernel_stream(*args, page_size: int, ppcb: int, pages_per_slot: int,
                 def _():
                     copy_block(i + 1, 1 - slot)
 
-                wait_block(slot)
+                wait_block(i, slot)
                 # whole block as ONE [bk, W] operand (the [ppcb, ps, W]
                 # buffer collapses row-major, relayout-free)
                 k_blk = kbuf[slot].reshape(bk0, w)
@@ -499,15 +544,21 @@ def _decode_kernel_stream(*args, page_size: int, ppcb: int, pages_per_slot: int,
                 l = l * alpha
                 pexp = jnp.exp(sc - m_new.T)  # [bk, H]
                 l = l + jnp.sum(pexp, axis=0)[:, None]
+                # rows in pages the tail DMA skipped hold garbage (NaN in
+                # interpret mode); pexp there is 0 but 0*NaN = NaN in the
+                # AV contraction — zero both factors on dead rows
+                pexp = jnp.where(row < length, pexp, 0.0)
                 v_blk = vbuf[slot].reshape(bk0, w)
+                v_blk = jnp.where(row[:, :1] < length, v_blk,
+                                  jnp.zeros_like(v_blk))
                 if quantized:
                     # fold the v scale into the attention weights: only
                     # each head's own kv-head block of the [H, W]
                     # accumulator is ever read, so pexp * v_scale[t, kv(h)]
-                    # dequantizes it
+                    # dequantizes it (vs is garbage on dead rows — re-mask)
                     vs = jax.lax.dot(s_blk, scale_router(kv_heads),
                                      preferred_element_type=jnp.float32)
-                    pexp = pexp * vs
+                    pexp = jnp.where(row < length, pexp * vs, 0.0)
                     v_blk = v_blk.astype(jnp.bfloat16)
                 acc = acc + jax.lax.dot(
                     pexp.astype(v_blk.dtype), v_blk,
@@ -675,11 +726,15 @@ def _decode_tpu_stream(q_diag, pools: PagedPools, lengths, base_pages, write=Non
     blk_tbl = (idx - (cum - nb)[slot_tbl]).astype(jnp.int32)
     # flat start-page table: the kernel's copy issue is ONE SMEM load
     start_tbl = (base_pages[slot_tbl] + blk_tbl * ppcb).astype(jnp.int32)
+    # live pages per work item: the tail block copies only what it needs
+    pages_tbl = jnp.clip(
+        (lengths[slot_tbl] + page_size - 1) // page_size - blk_tbl * ppcb,
+        1, ppcb).astype(jnp.int32)
 
     hbm_in = [pl.BlockSpec(memory_space=pl.ANY)] * n_pools
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     news, new_specs = [], []
-    scalars = [lengths, base_pages, start_tbl, total]
+    scalars = [lengths, base_pages, start_tbl, total, pages_tbl]
     out_shape = [
         jax.ShapeDtypeStruct((b, num_heads, w), jnp.float32),
         jax.ShapeDtypeStruct((b, num_heads, 1), jnp.float32),

@@ -241,7 +241,8 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
 
         h, pools = fused_decode_step(fused, config.net, emb[:, 0],
                                      state.pools, index,
-                                     page_size=ps, pages_per_slot=pps)
+                                     page_size=ps, pages_per_slot=pps,
+                                     uniform_append=True)
     else:
         # split path: uniform lengths favor the per-cell kernel (no
         # work-table indirection); the streaming kernel wins on the

@@ -54,8 +54,14 @@ def parse_args(argv=None):
     p.add_argument("--acc-grad", type=int, default=2)
     p.add_argument("--fp32", action="store_true", default=False,
                    help="fp32 compute (default bf16 compute, fp32 master)")
-    p.add_argument("--remat", action="store_true", default=False,
-                   help="checkpoint layers (less memory, ~30%% more flops)")
+    p.add_argument("--remat", nargs="?", const="full", default="",
+                   choices=["", "full", "dots"],
+                   help="activation checkpointing: 'full' (bare --remat; "
+                        "whole layers recomputed, least memory) or 'dots' "
+                        "(selective dots_with_no_batch_dims_saveable: matmul "
+                        "outputs saved, only elementwise chains recomputed — "
+                        "near no-remat speed, the right choice for "
+                        "tv2o-large on a 16 GB chip)")
     p.add_argument("--dp", type=int, default=0, help="data-parallel size (0 = all devices)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--multihost", action="store_true", default=False,
@@ -107,8 +113,10 @@ def main(argv=None):
     # Multihost data feeding: each process loads a DISJOINT slice of the
     # corpus and only its share of every global batch; the global batch is
     # assembled via jax.make_array_from_process_local_data in the step loop.
-    # Validation files are NOT sharded — every process evaluates the same
-    # batches (replicated), so checkpoint decisions agree across hosts.
+    # The val FILE LIST stays identical on every process (run_validation
+    # strides ITEMS per process and shards each eval batch over the data
+    # axis, so the jitted global mean is one collective away and checkpoint
+    # decisions agree across hosts without replicated compute).
     process_count = jax.process_count()
     if process_count > 1:
         train_files = process_shard(train_files)
@@ -242,7 +250,7 @@ def main(argv=None):
                          if mesh is not None else jnp.asarray)
             val_metrics = run_validation(
                 eval_step, eval_params, config, val_ds, args.batch_size_val,
-                args.max_len, globalize=globalize)
+                args.max_len, globalize=globalize, mesh=mesh)
             writer.log(step, {f"val/{k}": v for k, v in val_metrics.items()})
             mgr.save(step, state, metrics=val_metrics)  # all processes join
             if val_metrics["loss"] < best_val:
@@ -264,10 +272,46 @@ def main(argv=None):
 
 
 def run_validation(eval_step, params, config, val_ds, batch_size, max_len,
-                   max_batches: int = 16, globalize=None):
+                   max_batches: int = 16, globalize=None, mesh=None):
+    """Validation over up to ``max_batches`` eval batches.
+
+    Multihost (``mesh`` spans >1 process): each process loads a DISJOINT
+    stride of the shared val list (``batch_size`` items per round) and the
+    round's global batch is sharded over the ``data`` axis — the jitted
+    masked-token mean inside ``eval_step`` is then the exact GLOBAL metric
+    (one psum, replicated output), so every host sees identical values and
+    checkpoint decisions agree with 1/process_count of the compute the old
+    replicated scheme burned.  Falls back to replicated batches when the
+    geometry doesn't divide (global batch % data-axis size) or the val set
+    is smaller than one global batch.
+    """
+    import jax
     import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import DATA_AXIS, host_local_batch_to_global
 
     globalize = globalize or jnp.asarray
+    pcount = jax.process_count()
+    if mesh is not None and pcount > 1:
+        bg = batch_size * pcount  # global items per round
+        dp = mesh.shape.get(DATA_AXIS, 1)
+        if bg % dp == 0 and len(val_ds) >= bg:
+            pid = jax.process_index()
+            n_rounds = min(max_batches, len(val_ds) // bg)
+            losses, accs = [], []
+            for r in range(n_rounds):
+                base = r * bg + pid * batch_size
+                items = [val_ds[base + j] for j in range(batch_size)]
+                batch = val_ds.collate(items, pad_to=max_len)
+                gbatch = host_local_batch_to_global(batch, mesh,
+                                                    spec=P(DATA_AXIS))
+                m = eval_step(params, config, gbatch)
+                losses.append(float(m["loss"]))
+                accs.append(float(m["acc"]))
+            return {"loss": float(np.mean(losses)),
+                    "acc": float(np.mean(accs))}
+
     losses, accs = [], []
     idx = 0
     for _ in range(max_batches):

@@ -58,3 +58,25 @@ for _ in range(3):
     loss = float(metrics["loss"])
 
 print(f"FINAL_LOSS {loss:.8f}", flush=True)
+
+# --- sharded validation: each process feeds DIFFERENT local eval items; the
+# data-axis-sharded global batch makes eval_step's jitted masked mean the
+# exact GLOBAL metric, identical on every host (train/cli.py run_validation).
+from jax.sharding import PartitionSpec as P  # noqa: E402
+
+from midi_model_tpu.parallel import replicated_from_local  # noqa: E402
+from midi_model_tpu.train.trainer import eval_step  # noqa: E402
+
+val_global = rng.integers(
+    3, cfg.tokenizer.vocab_size, (4, 8, cfg.tokenizer.max_token_seq)
+).astype(np.int32)
+val_local = val_global[2 * pid: 2 * pid + 2]
+val_batch = host_local_batch_to_global(val_local, mesh, spec=P("data"))
+assert val_batch.shape == val_global.shape, val_batch.shape
+# params must be GLOBAL (replicated) arrays to mix with the sharded batch
+# (the originals were donated into the train state above, so re-init)
+eval_params = midinet.init_params(jax.random.PRNGKey(0), cfg)
+gparams = jax.tree.map(lambda x: replicated_from_local(np.asarray(x), mesh),
+                       eval_params)
+vm = eval_step(gparams, cfg, val_batch)
+print(f"VAL_LOSS {float(vm['loss']):.8f}", flush=True)

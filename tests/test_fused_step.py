@@ -61,11 +61,12 @@ def _filled_state(cfg, params, b, pps, lengths):
     return pools, x
 
 
-@pytest.mark.parametrize("lengths,active", [
-    ([33, 33, 33, 33], None),             # aligned uniform
-    ([40, 7, 17, 0], [True, True, True, False]),  # ragged + inactive
+@pytest.mark.parametrize("lengths,active,uniform", [
+    ([33, 33, 33, 33], None, False),             # aligned uniform
+    ([33, 33, 33, 33], None, True),   # batched one-DMA RMW (aligned path)
+    ([40, 7, 17, 0], [True, True, True, False], False),  # ragged + inactive
 ])
-def test_fused_step_matches_decode_paged(setup, lengths, active):
+def test_fused_step_matches_decode_paged(setup, lengths, active, uniform):
     cfg, params = setup
     net = cfg.net
     b = len(lengths)
@@ -81,7 +82,8 @@ def test_fused_step_matches_decode_paged(setup, lengths, active):
     fused = fused_step.prepare_fused(params["net"])
     got_h, got_pools = fused_step.fused_decode_step(
         fused, net, x, pools, index, act,
-        page_size=PS, pages_per_slot=pps, ppcb=2, interpret=True)
+        page_size=PS, pages_per_slot=pps, ppcb=2, uniform_append=uniform,
+        interpret=True)
 
     np.testing.assert_allclose(
         np.asarray(got_h, np.float32), np.asarray(ref_h, np.float32),

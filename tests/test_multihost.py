@@ -92,3 +92,31 @@ def test_two_process_data_feeding():
     # and it matches the single-process run on the identical global data
     ref = _single_process_reference()
     np.testing.assert_allclose(losses[0], ref, rtol=2e-4)
+
+    # sharded validation: per-process DISJOINT eval items, one global metric
+    val_losses = []
+    for out in outs:
+        m = re.search(r"VAL_LOSS ([0-9.]+)", out)
+        assert m, out[-3000:]
+        val_losses.append(float(m.group(1)))
+    assert val_losses[0] == val_losses[1], val_losses
+    np.testing.assert_allclose(val_losses[0], _single_process_val(),
+                               rtol=2e-4)
+
+
+def _single_process_val() -> float:
+    """eval_step over the same 4-row global val batch, unsharded."""
+    from midi_model_tpu.train.trainer import eval_step
+
+    cfg = MIDIModelConfig.get_config("v2", True, n_layer=4, n_head=4,
+                                     n_embd=32, n_inner=64)
+    params = midinet.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(42)
+    for _ in range(3):  # consume the train batches to reach the val draw
+        rng.integers(3, cfg.tokenizer.vocab_size,
+                     (2, 4, 8, cfg.tokenizer.max_token_seq))
+    val_global = rng.integers(
+        3, cfg.tokenizer.vocab_size, (4, 8, cfg.tokenizer.max_token_seq)
+    ).astype(np.int32)
+    m = eval_step(params, cfg, jnp.asarray(val_global))
+    return float(m["loss"])

@@ -1,8 +1,10 @@
-"""BASELINE config 4: training throughput on the real TPU chip.
+"""BASELINE config 4: training throughput + MFU on the real TPU chip.
 
-tv2o-medium, seq 2048 events x 8 tokens, bf16 compute / fp32 master.
-Reports tokens/sec (= B * 2048 * 8 / step time) for a few batch sizes and
-both attention backends.
+tv2o-medium / tv2o-large, seq 2048 events x 8 tokens, bf16 compute / fp32
+master.  Reports tokens/sec (= B * 2048 * 8 / step time) AND model FLOPs
+utilization from EXACT matmul-FLOPs accounting (fwd+bwd = 3x fwd, the
+standard MFU convention — remat recompute is NOT credited), against the
+v5e bf16 peak of 197 TFLOP/s.
 """
 
 import sys
@@ -21,6 +23,37 @@ from midi_model_tpu.train import init_train_state, make_optimizer, make_train_st
 
 SEQ = 2048
 STEPS = 8
+V5E_BF16_PEAK = 197e12  # FLOP/s per chip
+
+
+def matmul_flops_fwd(config: MIDIModelConfig, batch: int, seq: int) -> float:
+    """Exact forward matmul FLOPs for one loss_fn pass over [B, seq, 8].
+
+    Counts every MXU op in the model (2 FLOPs per MAC): event-net qkv/o/mlp
+    + causal attention (scores and AV at the true triangular cost), token-net
+    same at its 8-token context, and the lm_head.  Embedding gathers and
+    elementwise/norm work are excluded (not MXU FLOPs).
+    """
+    tok = config.tokenizer
+    rows = batch * (seq - 1)  # x = batch[:, :-1] event rows through the net
+    t = tok.max_token_seq     # 8: token-net context per event row
+
+    def stack_flops(cfg, n_rows, ctx_rows_avg):
+        d, f, w = cfg.hidden_size, cfg.intermediate_size, cfg.num_heads * cfg.head_dim
+        kvw = cfg.kv_heads * cfg.head_dim
+        per_row = (
+            d * (w + 2 * kvw)      # q, k, v projections
+            + 2 * ctx_rows_avg * w  # scores QK^T + AV (per-head summed = w)
+            + w * d                # o projection
+            + 3 * d * f            # gate, up, down
+        )
+        return 2.0 * cfg.num_layers * n_rows * per_row  # MACs -> FLOPs
+
+    # causal attention: average context of position i is (i+1)/2 -> (S+1)/2
+    ev = stack_flops(config.net, rows, (seq - 1 + 1) / 2)
+    tk = stack_flops(config.net_token, rows * t, (t + 1) / 2)
+    lm_head = 2.0 * rows * t * config.n_embd * tok.vocab_size
+    return ev + tk + lm_head
 
 
 def measure(batch_size: int, backend: str, token_chunk=None, remat=False,
@@ -44,8 +77,11 @@ def measure(batch_size: int, backend: str, token_chunk=None, remat=False,
     float(m["loss"])  # host sync
     dt = (time.time() - t0) / STEPS
     tokens = batch_size * SEQ * 8
+    flops = 3.0 * matmul_flops_fwd(config, batch_size, SEQ)  # fwd+bwd
+    mfu = flops / dt / V5E_BF16_PEAK
     print(f"{name} bs={batch_size} attn={backend} chunk={token_chunk} "
-          f"remat={remat}: {dt*1000:.0f} ms/step, {tokens/dt:,.0f} tokens/sec")
+          f"remat={remat}: {dt*1000:.0f} ms/step, {tokens/dt:,.0f} tokens/sec, "
+          f"MFU {mfu*100:.1f}%")
     return tokens / dt
 
 
@@ -55,12 +91,16 @@ def main():
         dict(batch_size=4, backend="auto", token_chunk=2048),
         dict(batch_size=8, backend="auto", token_chunk=2048, remat=True),
         dict(batch_size=16, backend="auto", token_chunk=2048, remat=True),
+        dict(batch_size=2, backend="auto", remat="dots", name="tv2o-large"),
         dict(batch_size=2, backend="auto", token_chunk=2048, remat=True,
              name="tv2o-large"),
-        dict(batch_size=4, backend="auto", token_chunk=2048, remat=True,
+        dict(batch_size=4, backend="auto", token_chunk=2048, remat="dots",
              name="tv2o-large"),
     ]
-    for job in jobs:
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    for i, job in enumerate(jobs):
+        if only is not None and str(i) != only:
+            continue
         try:
             measure(**job)
         except Exception as e:

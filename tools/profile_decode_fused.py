@@ -141,6 +141,24 @@ def main():
     timeit(paged_steps, params, emb1, pools,
            label="event-net paged step (cache 513)")
 
+    # 4b. the fused WHOLE-STEP kernel (the live aligned path on TPU)
+    from midi_model_tpu.ops import fused_step as _fs
+    fused = _fs.prepare_fused(params["net"])
+
+    @jax.jit
+    def fused_steps(fused, emb1, pools):
+        def body(i, carry):
+            e, pl_ = carry
+            h, pl_ = _fs.fused_decode_step(fused, net, e, pl_, index,
+                                           page_size=ps, pages_per_slot=pps)
+            return (e + h * 1e-9, pl_)
+        e, _ = jax.lax.fori_loop(0, N, body, (emb1, pools))
+        return e.astype(jnp.float32).sum()
+
+    if jax.default_backend() == "tpu":
+        timeit(fused_steps, fused, emb1, pools,
+               label="event-net FUSED whole-step (cache 513)")
+
     emb = jnp.zeros((B, 1, config.n_embd), jnp.bfloat16)
     cache = KVCache.zeros(config.net, B, 513, dtype=jnp.bfloat16)
 
