@@ -79,17 +79,35 @@ def _rms_norm(x, w, eps):
 
 
 def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
-        lengths_ref, slot_tbl_ref, blk_tbl_ref, total_ref, wpos_ref,
-        x0_ref, wqkv_ref, wo_ref, wgu_ref, wd_ref, ln_ref, cos_ref, sin_ref,
-        k_pool_ref, v_pool_ref,
-        xout_ref, k_out_ref, v_out_ref,
-        xs_ref, kbuf, vbuf, sems, kwbuf, vwbuf, wsem,
-        accs_ref, ms_ref, ls_ref,
-        *, batch: int, num_heads: int, head_dim: int, hidden: int,
+        *args,
+        batch: int, num_heads: int, head_dim: int, hidden: int,
         inter: int, page_size: int, ppcb: int, pages_per_slot: int,
-        n_layers: int, eps: float, uniform_append: bool):
+        n_layers: int, eps: float, uniform_append: bool, quantized: bool,
+        exact_tail: bool):
+    n_pools = 3 if quantized else 2
+    (lengths_ref, slot_tbl_ref, blk_tbl_ref, total_ref, wpos_ref) = args[:5]
+    ins = args[5:5 + 8 + n_pools]
+    (x0_ref, wqkv_ref, wo_ref, wgu_ref, wd_ref, ln_ref, cos_ref,
+     sin_ref) = ins[:8]
+    k_pool_ref, v_pool_ref = ins[8], ins[9]
+    s_pool_ref = ins[10] if quantized else None
+    rest = args[5 + 8 + n_pools:]
+    if quantized:
+        # int8 pools are READ-ONLY here: the fresh bf16 rows come out as
+        # per-layer outputs and the wrapper quantizes + scatters them (the
+        # in-kernel RMW can't quantize — per-head absmax needs a lane-group
+        # reduction the wrapper does in one XLA pass over all layers)
+        xout_ref, kn_ref, vn_ref = rest[:3]
+        (xs_ref, kbuf, vbuf, sbuf, sems,
+         accs_ref, ms_ref, ls_ref) = rest[3:]
+        kwbuf = vwbuf = wsem = None
+    else:
+        xout_ref, k_out_ref, v_out_ref = rest[:3]
+        (xs_ref, kbuf, vbuf, sems, kwbuf, vwbuf, wsem,
+         accs_ref, ms_ref, ls_ref) = rest[3:]
+        sbuf = None
     b, d = batch, hidden
-    w = k_pool_ref.shape[-1]  # == num_heads * head_dim
+    w = k_pool_ref.shape[-1]  # == num_heads * head_dim (lanes; int8 or bf16)
     f = inter
     li = pl.program_id(0)
     dtype = wqkv_ref.dtype
@@ -147,7 +165,9 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
         return ref.at[li * batch + s, wp // page_size,
                       pl.ds(wbase, RMW_ROWS)]
 
-    if uniform_append:
+    if quantized:
+        pass  # no in-kernel append: fresh rows leave via kn/vn outputs
+    elif uniform_append:
         wp0 = wpos_ref[0]
         wbase0 = pl.multiple_of((wp0 % page_size) // RMW_ROWS * RMW_ROWS,
                                 RMW_ROWS)
@@ -186,31 +206,49 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
                 - blk_tbl_ref[i] * ppcb)
         return jnp.clip(need, 1, ppcb)
 
+    pool_srcs = [k_pool_ref, v_pool_ref] + ([s_pool_ref] if quantized else [])
+    pool_bufs = [kbuf, vbuf] + ([sbuf] if quantized else [])
+
+    # ``exact_tail=False`` keeps the single full-ppcb copy variant: the
+    # pl.when size selection multiplies the DMA code by ppcb, and at 24
+    # layers the total program size crashes this container's remote
+    # compiler (tv2o-large keeps whole-block copies; the tail waste is the
+    # price of compiling at all)
+    def _sized(kp, k, body):
+        if exact_tail:
+            pl.when(kp == k)(body)
+        else:
+            body()
+
     def copy_block(i, slot):
         row = li * batch + slot_tbl_ref[i]
         blk0 = blk_tbl_ref[i] * ppcb
-        kp = blk_pages(i)
-        for k in range(1, ppcb + 1):
-            @pl.when(kp == k)
-            def _(k=k):
-                pltpu.make_async_copy(k_pool_ref.at[row, pl.ds(blk0, k)],
-                                      kbuf.at[slot, pl.ds(0, k)],
-                                      sems.at[slot, 0]).start()
-                pltpu.make_async_copy(v_pool_ref.at[row, pl.ds(blk0, k)],
-                                      vbuf.at[slot, pl.ds(0, k)],
-                                      sems.at[slot, 1]).start()
+        kp = blk_pages(i) if exact_tail else ppcb
+        for k in (range(1, ppcb + 1) if exact_tail else (ppcb,)):
+            def body(k=k):
+                for j, (src, dst) in enumerate(zip(pool_srcs, pool_bufs)):
+                    pltpu.make_async_copy(src.at[row, pl.ds(blk0, k)],
+                                          dst.at[slot, pl.ds(0, k)],
+                                          sems.at[slot, j]).start()
+            _sized(kp, k, body)
 
     def wait_block(i, slot):
-        kp = blk_pages(i)
-        for k in range(1, ppcb + 1):
-            @pl.when(kp == k)
-            def _(k=k):
-                pltpu.make_async_copy(k_pool_ref.at[0, pl.ds(0, k)],
-                                      kbuf.at[slot, pl.ds(0, k)],
-                                      sems.at[slot, 0]).wait()
-                pltpu.make_async_copy(v_pool_ref.at[0, pl.ds(0, k)],
-                                      vbuf.at[slot, pl.ds(0, k)],
-                                      sems.at[slot, 1]).wait()
+        kp = blk_pages(i) if exact_tail else ppcb
+        for k in (range(1, ppcb + 1) if exact_tail else (ppcb,)):
+            def body(k=k):
+                for j, (src, dst) in enumerate(zip(pool_srcs, pool_bufs)):
+                    pltpu.make_async_copy(src.at[0, pl.ds(0, k)],
+                                          dst.at[slot, pl.ds(0, k)],
+                                          sems.at[slot, j]).wait()
+            _sized(kp, k, body)
+
+    if quantized:
+        # [LANE, H] routers: one bf16 matmul extracts the per-row k (lane h)
+        # or v (lane H+h) scale AND maps it to every query head (MHA)
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (LANE, num_heads), 0)
+        head_r = jax.lax.broadcasted_iota(jnp.int32, (LANE, num_heads), 1)
+        router_k = (lane_r == head_r).astype(jnp.bfloat16)
+        router_v = (lane_r == num_heads + head_r).astype(jnp.bfloat16)
 
     # G[w, h] = 1 iff lane w belongs to head h (MHA: head = w // head_dim)
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (w, num_heads), 0)
@@ -243,10 +281,18 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
             wait_block(i, slot)
             k_blk = kbuf[slot].reshape(bk, w)
             # (k ⊙ q) @ G: identical f32 products and contraction
-            # positions as the standalone kernel's k @ q_diag
+            # positions as the standalone kernel's k @ q_diag (int8 cache
+            # values are exact in f32; the per-row-per-head scale factors
+            # out of the head's lane sum, so sc * ks dequantizes exactly
+            # like the standalone kernel's (k_blk @ qd) * ks)
             prod = k_blk.astype(jnp.float32) * q_rowb
             sc = jax.lax.dot(prod, gmask32,
                              preferred_element_type=jnp.float32)
+            if quantized:
+                s_blk = sbuf[slot].reshape(bk, LANE)
+                ks = jax.lax.dot(s_blk, router_k,
+                                 preferred_element_type=jnp.float32)
+                sc = sc * ks
             row = j * bk + jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
             sc = jnp.where(row < length, sc, -jnp.inf)
             block_m = jnp.max(sc, axis=0)[:, None]  # [H, 1]
@@ -263,6 +309,13 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
             v_blk = vbuf[slot].reshape(bk, w)
             v_blk = jnp.where(row[:, :1] < length, v_blk,
                               jnp.zeros_like(v_blk))
+            if quantized:
+                # fold the v scale into the attention weights (garbage on
+                # dead rows — re-mask)
+                vs = jax.lax.dot(s_blk, router_v,
+                                 preferred_element_type=jnp.float32)
+                pexp = jnp.where(row < length, pexp * vs, 0.0)
+                v_blk = v_blk.astype(jnp.bfloat16)
             acc = acc + jax.lax.dot(
                 pexp.astype(v_blk.dtype), v_blk,
                 preferred_element_type=jnp.float32,
@@ -330,6 +383,12 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
     def _():
         xout_ref[...] = x
 
+    if quantized:
+        # fresh rows out (per-layer blocks); the wrapper quantizes + scatters
+        kn_ref[0] = kr
+        vn_ref[0] = v
+        return
+
     # ---- finish the RMW append ------------------------------------------
     if uniform_append:
         off0 = wp0 % page_size - wbase0
@@ -395,21 +454,29 @@ def prepare_fused(net_params: dict):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "page_size",
                                              "pages_per_slot", "ppcb",
-                                             "uniform_append", "interpret"))
+                                             "uniform_append", "exact_tail",
+                                             "interpret"))
 def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
                       index: jax.Array, active=None, *,
                       page_size: int, pages_per_slot: int, ppcb: int = 4,
-                      uniform_append: bool = False, interpret: bool = False):
+                      uniform_append: bool = False, exact_tail: bool = None,
+                      interpret: bool = False):
     """Drop-in replacement for ``llama.decode_paged`` on the TPU hot path.
 
     fused: :func:`prepare_fused` output; x: [B, D] embeddings; index:
     int32 [B] per-slot lengths BEFORE this token.  Returns (hidden [B, D]
-    after the final norm, updated pools).  bf16 MHA pools only.
+    after the final norm, updated pools).  bf16 or int8 MHA pools.
 
     ``uniform_append``: caller guarantees every slot writes the same page
     offset (``index`` is a broadcast scalar — the aligned decode loop); the
     fresh-row RMW then runs as ONE strided [B, 8, w] DMA per tensor per
     layer instead of B separate issues+waits.
+
+    int8 pools: the kernel streams k/v/scale pages and dequantizes in the
+    score and p-weight math (same factorization as the standalone kernels);
+    the fresh bf16 rows come back as per-layer outputs and are quantized +
+    scattered here in one XLA pass (``quantize_packed`` semantics — the
+    pool stores the SAME values the split path would).
     """
     b, d = x.shape
     l_n, _, w3 = fused["wqkv"].shape
@@ -419,7 +486,7 @@ def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
     head_dim = cfg.head_dim
     assert cfg.kv_heads == num_heads, "fused step kernel is MHA-only"
     assert head_stride(head_dim, num_heads) == head_dim
-    assert not pools.quantized, "int8 pools keep the split decode path"
+    quantized = pools.quantized
     dtype = fused["wqkv"].dtype
     capacity = pages_per_slot * page_size
 
@@ -448,11 +515,17 @@ def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
     cos = jnp.tile(cos[:, 0], (1, num_heads))
     sin = jnp.tile(sin[:, 0], (1, num_heads))
 
+    if exact_tail is None:
+        # exact-page tail DMAs multiply the copy/wait code by ppcb; at 24
+        # layers (tv2o-large) the program crashes this container's remote
+        # compiler — whole-block copies keep large compiling
+        exact_tail = l_n <= 16
     kernel = functools.partial(
         _fused_step_kernel, batch=b, num_heads=num_heads, head_dim=head_dim,
         hidden=d, inter=f2 // 2, page_size=page_size, ppcb=ppcb,
         pages_per_slot=pages_per_slot, n_layers=l_n, eps=cfg.rms_norm_eps,
-        uniform_append=uniform_append)
+        uniform_append=uniform_append, quantized=quantized,
+        exact_tail=exact_tail)
 
     # 4D slot-major pool view: [L*B, pages_per_slot, page, w] — the RMW
     # append addresses all slots' tiles as one strided slice, and block
@@ -461,9 +534,50 @@ def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
     assert pool_shape[0] == l_n * b * pages_per_slot, pool_shape
     k4 = pools.k.reshape(l_n * b, pages_per_slot, page_size, -1)
     v4 = pools.v.reshape(l_n * b, pages_per_slot, page_size, -1)
+    pool_ins = [k4, v4]
+    if quantized:
+        pool_ins.append(
+            pools.scales.reshape(l_n * b, pages_per_slot, page_size, -1))
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = [
+        pltpu.VMEM((b, d), dtype),        # xs residual stream
+        pltpu.VMEM((2, ppcb, page_size, w), pools.k.dtype),
+        pltpu.VMEM((2, ppcb, page_size, w), pools.v.dtype),
+    ]
+    if quantized:
+        scratch += [
+            pltpu.VMEM((2, ppcb, page_size, LANE), jnp.bfloat16),  # scales
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, d), dtype),
+            jax.ShapeDtypeStruct((l_n, b, w), dtype),  # fresh k rows
+            jax.ShapeDtypeStruct((l_n, b, w), dtype),  # fresh v rows
+        ]
+        row_spec = pl.BlockSpec((1, b, w), lambda li, *_: (li, 0, 0))
+        out_specs = [vmem, row_spec, row_spec]
+        aliases = {}
+    else:
+        scratch += [
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((b, RMW_ROWS, w), pools.k.dtype),  # k RMW tiles
+            pltpu.VMEM((b, RMW_ROWS, w), pools.v.dtype),  # v RMW tiles
+            pltpu.SemaphoreType.DMA((b, 2)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, d), dtype),
+            jax.ShapeDtypeStruct(k4.shape, k4.dtype),
+            jax.ShapeDtypeStruct(v4.shape, v4.dtype),
+        ]
+        out_specs = [vmem, any_, any_]
+        aliases = {13: 1, 14: 2}  # 5 scalars + 8 ins before pools
+    scratch += [
+        pltpu.VMEM((b, num_heads, w), jnp.float32),   # parked flash accs
+        pltpu.VMEM((b, num_heads), jnp.float32),      # parked flash m
+        pltpu.VMEM((b, num_heads), jnp.float32),      # parked flash l
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(l_n,),
@@ -475,58 +589,68 @@ def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
             pl.BlockSpec((1, f2 // 2, d), lambda li, *_: (li, 0, 0)),  # wd
             pl.BlockSpec((1, 2, d), lambda li, *_: (li, 0, 0)),       # ln
             vmem, vmem,  # cos, sin
-            any_, any_,  # pools
-        ],
-        out_specs=[vmem, any_, any_],
-        scratch_shapes=[
-            pltpu.VMEM((b, d), dtype),        # xs residual stream
-            pltpu.VMEM((2, ppcb, page_size, w), pools.k.dtype),
-            pltpu.VMEM((2, ppcb, page_size, w), pools.v.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((b, RMW_ROWS, w), pools.k.dtype),  # k RMW tiles
-            pltpu.VMEM((b, RMW_ROWS, w), pools.v.dtype),  # v RMW tiles
-            pltpu.SemaphoreType.DMA((b, 2)),
-            pltpu.VMEM((b, num_heads, w), jnp.float32),   # parked flash accs
-            pltpu.VMEM((b, num_heads), jnp.float32),      # parked flash m
-            pltpu.VMEM((b, num_heads), jnp.float32),      # parked flash l
-        ],
+        ] + [any_] * len(pool_ins),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     # weight blocks double-buffer across the layer grid: 2 x per-layer
     # weight bytes + the cache stream + RMW tiles + slack for compiler
     # temporaries.  This explicit limit is RESERVED against the program's
-    # shared scoped-VMEM pool even while the co-compiled token-row kernel
+    # shared scoped-vmem pool even while the co-compiled token-row kernel
     # runs, so keep it as tight as the kernel's real demand allows
     # (tools/probe_vmem.py measures the interplay on the live compiler).
     wbytes = sum(int(np.prod(fused[n].shape[1:]))
                  for n in ("wqkv", "wo", "wgu", "wd", "ln"))
     wbytes *= jnp.dtype(dtype).itemsize
-    scratch_bytes = b * d * 2 + 2 * 2 * bk * w * 2 \
-        + 2 * b * RMW_ROWS * w * 2 \
+    kv_itemsize = jnp.dtype(pools.k.dtype).itemsize
+    scratch_bytes = b * d * 2 + 2 * 2 * bk * w * kv_itemsize \
         + b * num_heads * (w + 2) * 4  # parked flash state
+    if quantized:
+        scratch_bytes += 2 * 2 * bk * LANE  # bf16 scale stream
+        scratch_bytes += 2 * 2 * b * w * 2  # double-buffered fresh-row outs
+    else:
+        scratch_bytes += 2 * b * RMW_ROWS * w * 2  # RMW tiles
     vmem_limit = 2 * int(wbytes) + int(scratch_bytes) + _SLACK_BYTES
 
-    xout, k_out, v_out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, d), dtype),
-            jax.ShapeDtypeStruct(k4.shape, k4.dtype),
-            jax.ShapeDtypeStruct(v4.shape, v4.dtype),
-        ],
-        input_output_aliases={13: 1, 14: 2},  # 5 scalars + 8 ins before pools
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(lengths, slot_tbl, blk_tbl, total, wpos,
       x.astype(dtype), fused["wqkv"], fused["wo"], fused["wgu"], fused["wd"],
-      fused["ln"], cos, sin, k4, v4)
+      fused["ln"], cos, sin, *pool_ins)
 
     from ..models.llama import rms_norm
 
-    hidden = rms_norm(xout, fused["final_norm"], cfg.rms_norm_eps)
-    return hidden, PagedPools(k=k_out.reshape(pool_shape),
-                              v=v_out.reshape(pool_shape))
+    hidden = rms_norm(outs[0], fused["final_norm"], cfg.rms_norm_eps)
+    if not quantized:
+        return hidden, PagedPools(k=outs[1].reshape(pool_shape),
+                                  v=outs[2].reshape(pool_shape))
+
+    # ---- quantize + scatter the fresh rows (all layers, one XLA pass) ----
+    from .paged_allheads import combine_scales, quantize_packed
+
+    kn, vn = outs[1], outs[2]  # [L, B, W] bf16
+    kq, kscale = quantize_packed(
+        kn.reshape(l_n, b, num_heads, head_dim), num_heads, head_dim)
+    vq, vscale = quantize_packed(
+        vn.reshape(l_n, b, num_heads, head_dim), num_heads, head_dim)
+    srow = combine_scales(kscale, vscale, num_heads)  # [L, B, LANE]
+    page = (jnp.arange(l_n * b, dtype=jnp.int32) * pages_per_slot
+            + jnp.tile(wpos // page_size, (l_n,)))
+    # inactive slots: out-of-range page -> the scatter drops the update
+    page = jnp.where(jnp.tile(active, (l_n,)), page, pool_shape[0])
+    offs = jnp.tile(wpos % page_size, (l_n,))
+    new_pools = PagedPools(
+        k=pools.k.at[page, offs].set(kq.reshape(l_n * b, w)),
+        v=pools.v.at[page, offs].set(vq.reshape(l_n * b, w)),
+        scales=pools.scales.at[page, offs].set(srow.reshape(l_n * b, LANE)))
+    return hidden, new_pools
 
 
 _ENABLED = True
@@ -539,10 +663,9 @@ def set_enabled(v: bool):
 
 
 def usable(params: dict, cfg, pools: PagedPools) -> bool:
-    """TPU, bf16 weights, MHA, unquantized pools."""
+    """TPU, bf16 weights, MHA (bf16 and int8 pools both supported)."""
     return (_ENABLED and jax.default_backend() == "tpu"
             and params["lm_head"].dtype == jnp.bfloat16
             and cfg.net.kv_heads == cfg.net.num_heads
             and head_stride(cfg.net.head_dim, cfg.net.num_heads)
-            == cfg.net.head_dim
-            and not pools.quantized)
+            == cfg.net.head_dim)

@@ -227,9 +227,17 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
     (the split path measures ~44% of HBM peak on the matmul stream alone).
     """
     b = state.hidden.shape[0]
+    # token-row kernel next to the fused whole-step kernel: their explicit
+    # scoped-vmem limits can SUM in XLA's accounting (a compiler quirk —
+    # "should not be possible ... please file a bug"); at 24 layers
+    # (tv2o-large) the sum exceeds the 128 MB pool and the remote compiler
+    # rejects the program (tools/repro_large_compile.py stage 4).  The
+    # 12-layer geometry is measured-safe; larger nets take the XLA scan
+    # (the fused event net matters ~4x more at 24 layers anyway).
+    kernel_ok = b <= 64 and (fused is None or config.net.num_layers <= 16)
     row, ended = decode_token_row_any(params, config, state.hidden, masks,
                                       temp, top_p, top_k, key, greedy,
-                                      kernel_ok=b <= 64)
+                                      kernel_ok=kernel_ok)
 
     # Feed the sampled row through the event net (conditions the next event).
     emb = midinet.embed_events(params, row[:, None, :])
@@ -244,11 +252,10 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
                                      page_size=ps, pages_per_slot=pps,
                                      uniform_append=True)
     else:
-        # split path: uniform lengths favor the per-cell kernel (no
-        # work-table indirection); the streaming kernel wins on the
-        # batcher's ragged short lengths (serve/batcher.py).  The
-        # tensor-parallel step also lives here: its two per-layer psums
-        # must run between XLA ops, which the whole-step kernel cannot.
+        # split path (non-TPU, fp32 weights, GQA): per-layer XLA ops with
+        # the per-cell kernel.  The tensor-parallel step also lives here:
+        # its two per-layer psums must run between XLA ops, which the
+        # whole-step kernel cannot.
         h, pools = llama.decode_paged(
             params["net"], config.net, emb[:, 0], state.pools,
             index, page_size=ps, pages_per_slot=pps, streaming=False,

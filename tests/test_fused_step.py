@@ -28,7 +28,7 @@ def setup():
     return cfg, params
 
 
-def _filled_state(cfg, params, b, pps, lengths):
+def _filled_state(cfg, params, b, pps, lengths, quantized=False):
     """Pools pre-filled with real prefill KV up to each slot's length."""
     net = cfg.net
     max_len = max(lengths)
@@ -43,20 +43,31 @@ def _filled_state(cfg, params, b, pps, lengths):
     hidden, cache = llama.forward(params["net"], net, emb, cache=cache)
 
     pools = alloc_pools(net.kv_heads, net.num_layers * b * pps, PS,
-                        net.head_dim, jnp.bfloat16)
+                        net.head_dim, jnp.bfloat16, quantized=quantized)
 
-    def pack(pool, packed):  # packed [L, B, T, Hkv, D]
+    def pack(pool, flat):  # flat [L, B, T, w]
         l_n = net.num_layers
         w = pool.shape[-1]
-        t = packed.shape[2]
-        flat = pack_heads(packed, net.kv_heads, net.head_dim)
+        t = flat.shape[2]
         flat = flat.reshape(l_n * b, t // PS, PS, w)
         pool = pool.reshape(l_n * b, pps, PS, w)
         pool = jax.lax.dynamic_update_slice(
             pool, flat.astype(pool.dtype), (0, 0, 0, 0))
         return pool.reshape(-1, PS, w)
 
-    pools = pools._replace(k=pack(pools.k, cache.k), v=pack(pools.v, cache.v))
+    if quantized:
+        from midi_model_tpu.ops.paged_allheads import (combine_scales,
+                                                       quantize_packed)
+
+        kq, ks = quantize_packed(cache.k, net.kv_heads, net.head_dim)
+        vq, vs = quantize_packed(cache.v, net.kv_heads, net.head_dim)
+        pools = pools._replace(
+            k=pack(pools.k, kq), v=pack(pools.v, vq),
+            scales=pack(pools.scales, combine_scales(ks, vs, net.kv_heads)))
+    else:
+        hd = (net.kv_heads, net.head_dim)
+        pools = pools._replace(k=pack(pools.k, pack_heads(cache.k, *hd)),
+                               v=pack(pools.v, pack_heads(cache.v, *hd)))
     x = hidden[:, -1]  # any [B, D] works as the step input
     return pools, x
 
@@ -95,6 +106,41 @@ def test_fused_step_matches_decode_paged(setup, lengths, active, uniform):
     np.testing.assert_allclose(
         np.asarray(got_pools.v, np.float32),
         np.asarray(ref_pools.v, np.float32), rtol=3e-2, atol=3e-2)
+
+
+def test_fused_step_int8_matches_decode_paged(setup):
+    """int8 pools: in-kernel dequant + wrapper-side quantized append."""
+    cfg, params = setup
+    net = cfg.net
+    lengths = [33, 20, 7, 33]
+    b = len(lengths)
+    pps = 4
+    pools, x = _filled_state(cfg, params, b, pps, lengths, quantized=True)
+    index = jnp.asarray(lengths, jnp.int32)
+
+    ref_h, ref_pools = llama.decode_paged(
+        params["net"], net, x, pools, index,
+        page_size=PS, pages_per_slot=pps, pages_per_compute_block=2)
+
+    fused = fused_step.prepare_fused(params["net"])
+    got_h, got_pools = fused_step.fused_decode_step(
+        fused, net, x, pools, index,
+        page_size=PS, pages_per_slot=pps, ppcb=2, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(got_h, np.float32), np.asarray(ref_h, np.float32),
+        rtol=3e-2, atol=3e-2)
+    # appended int8 rows may differ by one quantization step where the two
+    # paths' bf16 matmuls round differently; scales must agree closely
+    np.testing.assert_allclose(
+        np.asarray(got_pools.k, np.float32),
+        np.asarray(ref_pools.k, np.float32), atol=1.5)
+    np.testing.assert_allclose(
+        np.asarray(got_pools.v, np.float32),
+        np.asarray(ref_pools.v, np.float32), atol=1.5)
+    np.testing.assert_allclose(
+        np.asarray(got_pools.scales, np.float32),
+        np.asarray(ref_pools.scales, np.float32), rtol=2e-2, atol=1e-5)
 
 
 def test_prepare_fused_shapes(setup):
