@@ -174,14 +174,21 @@ def _splice_slot(slot, p_len, pools, hidden_all, index_all,
 
 def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
                top_p, top_k, key, chunk: int, greedy: bool = False,
-               allow=None, *, page_size: int, pages_per_slot: int,
-               token_kernel_ok: bool = True):
+               allow=None, fused=None, *, page_size: int,
+               pages_per_slot: int, token_kernel_ok: bool = True):
     """Decode ``chunk`` events for all slots (one dispatch).
 
     carry = (pools, index [B], hidden [B, D]); allow [B, V] 0/1 (optional):
     per-slot constraint plane (requests with different instrument/channel
     bans share the batch — masks.build_allow_vector).
     Returns (carry, rows [B, chunk, T]).
+
+    ``fused`` (ops.fused_step.prepare_fused output, built ONCE by the
+    batcher at construction — per-step concats would re-stream all layer
+    weights every chunk) selects the whole-step event-net kernel: all
+    layers in one dispatch with the per-layer weights double-buffered
+    across the layer grid, ragged per-slot lengths and the ``alive`` mask
+    handled in-kernel.
 
     A device-side ``alive`` mask retires a slot mid-chunk the moment it emits
     an eos row or reaches cache capacity: its later rows are pad, its index
@@ -203,9 +210,17 @@ def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
             allow=allow)
 
         emb = midinet.embed_events(params, row[:, None, :])[:, 0]
-        h, pools = llama.decode_paged(
-            params["net"], config.net, emb.astype(dtype), pools,
-            index, alive, page_size=page_size, pages_per_slot=pages_per_slot)
+        if fused is not None:
+            from ..ops.fused_step import fused_decode_step
+
+            h, pools = fused_decode_step(
+                fused, config.net, emb.astype(dtype), pools, index, alive,
+                page_size=page_size, pages_per_slot=pages_per_slot)
+        else:
+            h, pools = llama.decode_paged(
+                params["net"], config.net, emb.astype(dtype), pools,
+                index, alive, page_size=page_size,
+                pages_per_slot=pages_per_slot)
         # only live slots advance / take the new hidden
         new_index = jnp.where(alive, jnp.minimum(index + 1, capacity), index)
         hidden_new = jnp.where(alive[:, None], h, hidden)
@@ -238,7 +253,7 @@ def _pool_specs(quantized: bool):
 
 def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
                  greedy: bool, page_size: int, pages_per_slot: int,
-                 token_kernel_ok: bool, local_slots: int):
+                 token_kernel_ok: bool, local_slots: int, use_fused: bool):
     """Build the jitted shard_map'd (step, splice) pair for a data-sharded
     batcher: slots are partitioned over the mesh's ``data`` axis and every
     shard runs the full single-chip decode program on its local slots — zero
@@ -259,11 +274,12 @@ def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
     mask_spec = (P(), P(), P())
 
     def step_local(params, carry, masks, active, temp, top_p, top_k, allow,
-                   key):
+                   key, fused):
         idx = jax.lax.axis_index(DATA_AXIS)
         return _step_impl(params, config, carry, masks, active, temp, top_p,
                           top_k, jax.random.fold_in(key, idx), chunk, greedy,
-                          allow, page_size=page_size,
+                          allow, fused if use_fused else None,
+                          page_size=page_size,
                           pages_per_slot=pages_per_slot,
                           token_kernel_ok=token_kernel_ok)
 
@@ -271,7 +287,7 @@ def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
         shard_map(step_local, mesh=mesh,
                   in_specs=(P(), carry_spec, mask_spec, P(DATA_AXIS),
                             P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                            P(DATA_AXIS), P()),
+                            P(DATA_AXIS), P(), P()),
                   out_specs=(carry_spec, P(DATA_AXIS))),
         donate_argnums=(1,))
 
@@ -339,7 +355,12 @@ class ContinuousBatcher:
         # tip the shared 128 MB scoped-vmem budget when the fused token-row
         # kernel (weights VMEM-resident, ~110 MB) co-compiles — degrade to
         # the XLA token-row scan automatically instead of failing compilation.
-        self._token_kernel_ok = not (kv_int8 and local_slots <= 64)
+        # Same story for the whole-step kernel on >16-layer nets: its and
+        # the token-row kernel's explicit scoped-vmem limits SUM in XLA's
+        # accounting (tools/repro_large_compile.py) — token row takes the
+        # scan there.
+        self._token_kernel_ok = not (kv_int8 and local_slots <= 64) \
+            and config.net.num_layers <= 16
         # whole 4-page kernel compute blocks (a non-multiple forces one-page
         # DMAs in the paged kernel — measured 1.5-1.7x slower)
         block = 4 * page_size
@@ -359,6 +380,21 @@ class ContinuousBatcher:
         self._pools = alloc_pools(
             net.kv_heads, n_pages, page_size, net.head_dim, dtype,
             quantized=kv_int8)
+        # whole-step event-net kernel (TPU/bf16/MHA): the per-layer weight
+        # concats are built ONCE here (they duplicate the event-net layer
+        # weights in HBM — ~0.4 GB for tv2o-medium — in exchange for the
+        # layer-grid double-buffered weight stream every decoded event).
+        # ONLY when the token row runs as the XLA scan: in this program
+        # shape the token-row kernel's explicit 112 MB scoped-vmem limit is
+        # not honored next to the whole-step kernel's reservation (the
+        # compiler reports the 16 MB default and rejects; the aligned
+        # decode_events program co-compiles the same pair fine), so the
+        # token-kernel configurations keep the split streaming path.
+        from ..ops import fused_step as _fs
+
+        self._fused = (_fs.prepare_fused(params["net"])
+                       if _fs.usable(params, config, self._pools)
+                       and not self._token_kernel_ok else None)
         self._index = jnp.zeros((n_slots,), jnp.int32)
         self._hidden = jnp.zeros((n_slots, config.n_embd), dtype)
         if mesh is not None:
@@ -374,7 +410,8 @@ class ContinuousBatcher:
             self._hidden = jax.device_put(self._hidden, shard)
             self._step_dp, self._splice_dp = _make_dp_fns(
                 mesh, kv_int8, config, chunk, greedy, page_size,
-                self.pages_per_slot, self._token_kernel_ok, local_slots)
+                self.pages_per_slot, self._token_kernel_ok, local_slots,
+                use_fused=self._fused is not None)
         self._active = np.zeros((n_slots,), bool)
         # per-slot sampling knobs (requests override batcher defaults)
         self._temp = np.full((n_slots,), temp, np.float32)
@@ -500,12 +537,15 @@ class ContinuousBatcher:
             allow_dp = (jnp.asarray(self._allow) if allow is None else allow)
             carry, rows = self._step_dp(self.params, carry, self.masks,
                                         jnp.asarray(self._active), temp,
-                                        top_p, top_k, allow_dp, sub)
+                                        top_p, top_k, allow_dp, sub,
+                                        self._fused if self._fused is not None
+                                        else {})
         else:
             carry, rows = _step(self.params, self.config, carry, self.masks,
                                 jnp.asarray(self._active), temp,
                                 top_p, top_k, sub, self.chunk,
-                                self.greedy, allow, page_size=self.page_size,
+                                self.greedy, allow, self._fused,
+                                page_size=self.page_size,
                                 pages_per_slot=self.pages_per_slot,
                                 token_kernel_ok=self._token_kernel_ok)
         (self._pools, self._index, self._hidden) = carry
