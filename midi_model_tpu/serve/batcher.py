@@ -25,17 +25,19 @@ Grammar masking and sampling semantics match sampling/generate.py exactly.
 Host/device discipline: per-slot bookkeeping must fetch device arrays to the
 host ONCE per step — indexing a device array per slot costs a full transfer
 round trip each time.  Measured steady-state throughput (tv2o-medium, one
-v5e chip, all-heads paged kernel + Pallas sampler, chunk=32, full occupancy;
-tools/bench_batcher.py --steady): ~6.3k events/sec at 32 slots, ~12.2k at
-128 (the round-1 dense/blend design: 2.3k / 3.3k). ``kv_int8`` stores int8
-pages + per-token scales: HALF the cache HBM, and with the streaming
-kernel it now also edges out bf16 at 128 slots (18.8k vs 18.1k ev/s) —
-the capacity option for many slots x long contexts (128 slots x 4096
-events: 6.7 GB instead of 12.9 GB). At <=64 slots the int8 program's
-extra buffers tip the shared 128 MB scoped-vmem budget next to the fused
-token-row kernel's ~110 MB of VMEM-resident weights, so the batcher
-automatically drops the token row to the XLA scan there (slower, never a
-compile failure).
+v5e chip, streaming all-heads paged kernel with exact-page tail DMAs +
+fused token-row kernel + Pallas sampler, chunk=32, full occupancy;
+tools/bench_batcher.py --steady, 2026-08-17): **9.1k events/sec at 32
+slots, 20.4k at 128** (round 2: 8.2k / 18.1k; the round-1 dense/blend
+design: 2.3k / 3.3k). ``kv_int8`` stores int8 pages + per-token scales:
+HALF the cache HBM (18.8k ev/s at 128 slots; 8.2k at 32 via the fused
+whole-step kernel + token scan) — the capacity option for many slots x
+long contexts (128 slots x 4096 events: 6.7 GB instead of 12.9 GB). At
+<=64 slots the int8 program's extra buffers tip the shared 128 MB
+scoped-vmem budget next to the fused token-row kernel's ~110 MB of
+VMEM-resident weights, so the batcher automatically drops the token row
+to the XLA scan there (and then routes the event net through the fused
+whole-step kernel — see __init__), never a compile failure.
 
 Sampling draws on TPU come from the Pallas Gumbel-argmax kernel: the same
 distribution as the XLA inverse-CDF sampler, but a different realized draw
