@@ -253,6 +253,11 @@ def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
             body = jax.checkpoint(
                 body,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        elif remat == "dots_all":
+            # saves EVERY matmul output (attention scores/context included):
+            # least recompute of the selective policies, most memory
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.dots_saveable)
         elif remat:
             body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, lp)

@@ -55,13 +55,15 @@ def parse_args(argv=None):
     p.add_argument("--fp32", action="store_true", default=False,
                    help="fp32 compute (default bf16 compute, fp32 master)")
     p.add_argument("--remat", nargs="?", const="full", default="",
-                   choices=["", "full", "dots"],
+                   choices=["", "full", "dots", "dots_all"],
                    help="activation checkpointing: 'full' (bare --remat; "
-                        "whole layers recomputed, least memory) or 'dots' "
+                        "whole layers recomputed, least memory), 'dots' "
                         "(selective dots_with_no_batch_dims_saveable: matmul "
                         "outputs saved, only elementwise chains recomputed — "
                         "near no-remat speed, the right choice for "
-                        "tv2o-large on a 16 GB chip)")
+                        "tv2o-large on a 16 GB chip), or 'dots_all' "
+                        "(dots_saveable: every matmul output incl. attention "
+                        "saved — least recompute, most memory)")
     p.add_argument("--dp", type=int, default=0, help="data-parallel size (0 = all devices)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--multihost", action="store_true", default=False,

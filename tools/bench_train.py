@@ -91,10 +91,13 @@ def main():
         dict(batch_size=4, backend="auto", token_chunk=2048),
         dict(batch_size=8, backend="auto", token_chunk=2048, remat=True),
         dict(batch_size=16, backend="auto", token_chunk=2048, remat=True),
+        # bs=1 fits WITHOUT remat and beats every bs=2 remat policy (the
+        # 2048x8 rows already saturate the matmul M dims; bs=2 only buys
+        # activation pressure): 78.4k tok/s vs 67.1k bs=2+dots.  Use
+        # --batch-size-train 1 --acc-grad 2 for effective batch 2 (74.2k).
+        dict(batch_size=1, backend="auto", name="tv2o-large"),
         dict(batch_size=2, backend="auto", remat="dots", name="tv2o-large"),
         dict(batch_size=2, backend="auto", token_chunk=2048, remat=True,
-             name="tv2o-large"),
-        dict(batch_size=4, backend="auto", token_chunk=2048, remat="dots",
              name="tv2o-large"),
     ]
     only = sys.argv[1] if len(sys.argv) > 1 else None
