@@ -72,12 +72,15 @@ def _filled_state(cfg, params, b, pps, lengths, quantized=False):
     return pools, x
 
 
-@pytest.mark.parametrize("lengths,active,uniform", [
-    ([33, 33, 33, 33], None, False),             # aligned uniform
-    ([33, 33, 33, 33], None, True),   # batched one-DMA RMW (aligned path)
-    ([40, 7, 17, 0], [True, True, True, False], False),  # ragged + inactive
+@pytest.mark.parametrize("lengths,active,uniform,exact_tail", [
+    ([33, 33, 33, 33], None, False, True),       # aligned uniform
+    ([33, 33, 33, 33], None, True, True),  # batched one-DMA RMW (aligned)
+    ([40, 7, 17, 0], [True, True, True, False], False, True),  # ragged
+    # whole-block tail copies (the >16-layer fallback, e.g. tv2o-large)
+    ([40, 7, 17, 33], None, False, False),
 ])
-def test_fused_step_matches_decode_paged(setup, lengths, active, uniform):
+def test_fused_step_matches_decode_paged(setup, lengths, active, uniform,
+                                         exact_tail):
     cfg, params = setup
     net = cfg.net
     b = len(lengths)
@@ -94,7 +97,7 @@ def test_fused_step_matches_decode_paged(setup, lengths, active, uniform):
     got_h, got_pools = fused_step.fused_decode_step(
         fused, net, x, pools, index, act,
         page_size=PS, pages_per_slot=pps, ppcb=2, uniform_append=uniform,
-        interpret=True)
+        exact_tail=exact_tail, interpret=True)
 
     np.testing.assert_allclose(
         np.asarray(got_h, np.float32), np.asarray(ref_h, np.float32),
