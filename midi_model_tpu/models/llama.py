@@ -134,10 +134,18 @@ def _attention(q, k, v, mask_bias, cached: bool):
 
 def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
            cache_kv: Optional[Tuple[jax.Array, jax.Array]], cache_index,
-           tp_axis: Optional[str] = None):
+           tp_axis: Optional[str] = None, prefill: bool = False):
     """One decoder layer. Returns (x, (new_k_cache, new_v_cache) or None).
     ``tp_axis``: Megatron shard step (see :func:`decode_paged`) — the two
-    row-parallel matmuls psum over the named axis."""
+    row-parallel matmuls psum over the named axis.
+
+    ``prefill``: the caller promises ``cache_index == 0`` and the query
+    block is the whole written prefix — attention is then plain causal
+    self-attention over the FRESH k/v (identical math: cache rows past the
+    block are masked to -inf either way), so the flash kernel applies and
+    the dense [B, H, S, T] f32 score tensor never materializes (at bs=32 x
+    4096-event prompts that tensor alone is 34 GB — an OOM the reference
+    never hits only because torch SDPA flashes it, app.py:46)."""
     b, s, d = x.shape
     h, hkv, dh = cfg.num_heads, cfg.kv_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
@@ -179,6 +187,21 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
             cv_all = jax.lax.dynamic_update_slice(
                 cv_all, v[None], (li, 0, cache_index, 0, 0))
         new_cache = (ck_all, cv_all)
+        if prefill:
+            # full-prefix self-attention over the fresh k/v (flash-eligible);
+            # the bias is sliced to the block for the XLA fallback
+            attn = _attention(q, k, v, mask_bias[..., :s],
+                              cached=False).reshape(b, s, h * dh)
+            attn_out = attn @ lp["wo"]
+            if tp_axis is not None:
+                attn_out = jax.lax.psum(attn_out, tp_axis)
+            x = x + attn_out
+            hmlp = rms_norm(x, lp["ln_mlp"], eps)
+            gated = jax.nn.silu(hmlp @ lp["w_gate"]) * (hmlp @ lp["w_up"])
+            down = gated @ lp["w_down"]
+            if tp_axis is not None:
+                down = jax.lax.psum(down, tp_axis)
+            return x + down, new_cache
         k = jax.lax.dynamic_index_in_dim(ck_all, li, axis=0, keepdims=False)
         v = jax.lax.dynamic_index_in_dim(cv_all, li, axis=0, keepdims=False)
 
@@ -200,7 +223,7 @@ def _layer(x, lp, cfg: TransformerConfig, cos, sin, mask_bias,
 
 def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
             cache: Optional[KVCache] = None, remat: bool = False,
-            tp_axis: Optional[str] = None,
+            tp_axis: Optional[str] = None, prefill: bool = False,
             ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the stack on pre-computed input embeddings.
 
@@ -270,7 +293,8 @@ def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
         def body(carry, layer_params):
             out, ck, cv, li = carry
             out, (ck, cv) = _layer(out, layer_params, cfg, cos, sin,
-                                   bias, (ck, cv, li), cache.index, tp_axis)
+                                   bias, (ck, cv, li), cache.index, tp_axis,
+                                   prefill=prefill)
             return (out, ck, cv, li + 1), None
 
         (x, nk, nv, _), _ = jax.lax.scan(
@@ -284,6 +308,95 @@ def forward(params: dict, cfg: TransformerConfig, inputs_embeds: jax.Array,
 def embed_tokens(params: dict, tokens: jax.Array) -> jax.Array:
     """Token-id lookup into this stack's embedding table."""
     return jnp.take(params["embed"], tokens, axis=0)
+
+
+def prefill_paged(params: dict, cfg: TransformerConfig, emb: jax.Array,
+                  pools, *, page_size: int, pages_per_slot: int,
+                  tp_axis: Optional[str] = None) -> Tuple[jax.Array, "object"]:
+    """Run the stack over a whole prompt, writing KV DIRECTLY into paged
+    pools (ops.paged_allheads layout, layer axis folded into pages).
+
+    The scratch-cache route (dense ``KVCache`` + a pack/relayout step) holds
+    the [L, B, S, H, D] scratch AND the pools live at once — prefill peak
+    memory was 2x the cache itself, which capped batch x prompt length well
+    below what the pools alone fit (bs=32 x 4096-event prompts: 3.2 GB
+    scratch + 6.4 GB pools + transients OOMs a 16 GB chip).  Here each
+    layer's packed pages are written straight into the pool slice inside
+    the layer scan; attention is full-causal over the fresh k/v (flash on
+    TPU — see ``_layer`` prefill notes).
+
+    emb: [B, S, D] input embeddings; pools at full capacity
+    (``pages_per_slot`` pages per layer-row).  Rows past S in the written
+    pages are zero — every reader masks by true length.  Returns
+    (hidden [B, S, D] after the final norm, pools).
+    """
+    from ..ops.paged_allheads import (combine_scales, pack_heads,
+                                      quantize_packed)
+
+    b, s, d = emb.shape
+    h, hkv, dh = cfg.num_heads, cfg.kv_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    l_n = cfg.num_layers
+    ps = page_size
+    n_pre = -(-s // ps)
+    pool_shape = pools.k.shape
+    assert pool_shape[0] == l_n * b * pages_per_slot, pool_shape
+
+    positions = jnp.arange(s)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    bias = jnp.where(positions[None, :] <= positions[:, None], 0.0,
+                     -jnp.inf).astype(jnp.float32)[None, None]  # [1,1,S,S]
+
+    def pool4(buf):
+        return buf.reshape(l_n * b, pages_per_slot, ps, buf.shape[-1])
+
+    def write(buf4, flat, li):  # flat [B, S, w] -> this layer's pages
+        pad = n_pre * ps - s
+        if pad:
+            flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
+        flat = flat.reshape(b, n_pre, ps, -1).astype(buf4.dtype)
+        return jax.lax.dynamic_update_slice(buf4, flat, (li * b, 0, 0, 0))
+
+    def body(carry, lp):
+        x, k4, v4, s4, li = carry
+        hctx = rms_norm(x, lp["ln_attn"], eps)
+        q = (hctx @ lp["wq"]).reshape(b, s, h, dh)
+        k = (hctx @ lp["wk"]).reshape(b, s, hkv, dh)
+        v = (hctx @ lp["wv"]).reshape(b, s, hkv, dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = _attention(q, k, v, bias, cached=False).reshape(b, s, h * dh)
+        attn_out = attn @ lp["wo"]
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        x = x + attn_out
+        hmlp = rms_norm(x, lp["ln_mlp"], eps)
+        gated = jax.nn.silu(hmlp @ lp["w_gate"]) * (hmlp @ lp["w_up"])
+        down = gated @ lp["w_down"]
+        if tp_axis is not None:
+            down = jax.lax.psum(down, tp_axis)
+        x = x + down
+
+        if s4 is not None:
+            kq, kscale = quantize_packed(k, hkv, dh)
+            vq, vscale = quantize_packed(v, hkv, dh)
+            k4 = write(k4, kq, li)
+            v4 = write(v4, vq, li)
+            s4 = write(s4, combine_scales(kscale, vscale, hkv), li)
+        else:
+            k4 = write(k4, pack_heads(k, hkv, dh), li)
+            v4 = write(v4, pack_heads(v, hkv, dh), li)
+        return (x, k4, v4, s4, li + 1), None
+
+    s4 = pool4(pools.scales) if pools.quantized else None
+    (x, k4, v4, s4, _), _ = jax.lax.scan(
+        body, (emb, pool4(pools.k), pool4(pools.v), s4,
+               jnp.zeros((), jnp.int32)), params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    pools = pools._replace(
+        k=k4.reshape(pool_shape), v=v4.reshape(pool_shape),
+        scales=s4.reshape(pools.scales.shape) if s4 is not None else None)
+    return x, pools
 
 
 def decode_paged(params: dict, cfg: TransformerConfig, x: jax.Array,

@@ -54,13 +54,15 @@ def embed_events(params: dict, tokens: jax.Array) -> jax.Array:
 
 def forward(params: dict, config: MIDIModelConfig, x: jax.Array,
             cache: Optional[KVCache] = None, remat: bool = False,
-            tp_axis: Optional[str] = None,
+            tp_axis: Optional[str] = None, prefill: bool = False,
             ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Event net: ``x [B, L, T]`` -> hidden ``[B, L, D]`` (ref forward :137-150).
-    ``tp_axis``: Megatron shard pass — see llama.forward."""
+    ``tp_axis``: Megatron shard pass — see llama.forward; ``prefill``:
+    cache starts at index 0 and x covers the whole prefix (flash-eligible
+    full-causal attention — see llama._layer)."""
     emb = embed_events(params, x)
     return llama.forward(params["net"], config.net, emb, cache=cache,
-                         remat=remat, tp_axis=tp_axis)
+                         remat=remat, tp_axis=tp_axis, prefill=prefill)
 
 
 def forward_token(params: dict, config: MIDIModelConfig,

@@ -73,17 +73,19 @@ def _mask_arrays(table: MaskTable):
                                              "tp_axis"))
 def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
             kv_int8: bool = False, tp_axis: str = None) -> GenState:
-    """Run the event net over the prompt rows, then pack the prompt KV into
-    the paged pools (capacity ``max_seq`` rounded up to whole pages).
+    """Run the event net over the prompt rows, writing the prompt KV
+    DIRECTLY into paged pools (capacity ``max_seq`` rounded up to whole
+    pages) — no dense scratch cache, so prefill peak memory is the pools
+    themselves (the old scratch+pack route doubled it and OOM'd a 16 GB
+    chip at bs=32 x 4096-event prompts; llama.prefill_paged).
 
-    ``kv_int8`` quantizes the pools (int8 pages + per-token-per-head f32
+    ``kv_int8`` quantizes the pools (int8 pages + per-token-per-head
     scales): half the cache-read traffic and capacity footprint.
 
     ``tp_axis``: tensor-parallel shard pass (sharded.tp_local_config builds
     the local ``config``; weights arrive as this shard's slices; the pools
     come out holding only this shard's heads)."""
-    from ..ops.paged_allheads import (alloc_pools, combine_scales, pack_heads,
-                                      quantize_packed)
+    from ..ops.paged_allheads import alloc_pools
 
     b, p_len, _ = prompt.shape
     dtype = params["lm_head"].dtype
@@ -95,32 +97,30 @@ def prefill(params, config: MIDIModelConfig, prompt: jax.Array, max_seq: int,
     # the kernel's 4-page block forces ppcb=1 (one-page DMAs) — measured
     # 1.5-1.7x slower at cache 512-1024 than 4-page blocks
     pps = -(-pps // 4) * 4
-    n_pre = -(-p_len // ps)
-    scratch = KVCache.zeros(net, b, n_pre * ps, dtype=dtype)
-    hidden, scratch = midinet.forward(params, config, prompt, cache=scratch,
-                                      tp_axis=tp_axis)
+    # embed in 16-event chunks: the fused pad+clamp+gather of a whole long
+    # prompt holds a [B, L, 8, D] gather output live (>1 GB at bs=32 x
+    # 2048) and can exceed the 16 MB scoped-VMEM fusion budget (same
+    # family as serve/batcher._prefill_request); lax.map serializes the
+    # gathers, noise next to the transformer forward
+    t_max = prompt.shape[-1]
+    if p_len > 64:
+        pad16 = (-p_len) % 16
+        padded = (jnp.pad(prompt, ((0, 0), (0, pad16), (0, 0)),
+                          constant_values=config.tokenizer.pad_id)
+                  if pad16 else prompt)
+        emb = jax.lax.map(
+            lambda c: midinet.embed_events(params, c),
+            padded.reshape(b, -1, 16, t_max).swapaxes(0, 1))
+        emb = emb.swapaxes(0, 1).reshape(b, -1, emb.shape[-1])[:, :p_len]
+    else:
+        emb = midinet.embed_events(params, prompt)
 
     l_n, hkv, dh = net.num_layers, net.kv_heads, net.head_dim
     pools = alloc_pools(hkv, l_n * b * pps, ps, dh, dtype,
                         quantized=kv_int8)
-
-    def pack(pool, packed):  # packed: [L, B, n_pre*ps, w]
-        w = pool.shape[-1]
-        packed = packed.reshape(l_n * b, n_pre, ps, w)
-        pool = pool.reshape(l_n * b, pps, ps, w)
-        pool = jax.lax.dynamic_update_slice(pool, packed.astype(pool.dtype),
-                                            (0, 0, 0, 0))
-        return pool.reshape(-1, ps, w)
-
-    if kv_int8:
-        kq, kscale = quantize_packed(scratch.k, hkv, dh)
-        vq, vscale = quantize_packed(scratch.v, hkv, dh)
-        pools = pools._replace(
-            k=pack(pools.k, kq), v=pack(pools.v, vq),
-            scales=pack(pools.scales, combine_scales(kscale, vscale, hkv)))
-    else:
-        pools = pools._replace(k=pack(pools.k, pack_heads(scratch.k, hkv, dh)),
-                               v=pack(pools.v, pack_heads(scratch.v, hkv, dh)))
+    hidden, pools = llama.prefill_paged(
+        params["net"], net, emb.astype(dtype), pools,
+        page_size=ps, pages_per_slot=pps, tp_axis=tp_axis)
 
     return GenState(
         pools=pools, hidden=hidden[:, -1],

@@ -103,7 +103,8 @@ def _prefill_request(params, config: MIDIModelConfig, prompt: jax.Array,
     emb = jax.lax.map(lambda c: midinet.embed_events(params, c),
                       prompt[0].reshape(-1, 16, t_max))
     emb = emb.reshape(1, bucket, -1)
-    hidden, cache = llama.forward(params["net"], config.net, emb, cache=cache)
+    hidden, cache = llama.forward(params["net"], config.net, emb, cache=cache,
+                                  prefill=True)
     h_last = jax.lax.dynamic_index_in_dim(hidden[0], p_len - 1, axis=0,
                                           keepdims=False)
     return cache.k, cache.v, h_last
