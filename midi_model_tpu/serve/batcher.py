@@ -87,26 +87,32 @@ class Finished:
 @functools.partial(jax.jit, static_argnames=("config", "bucket"))
 def _prefill_request(params, config: MIDIModelConfig, prompt: jax.Array,
                      p_len: jax.Array, bucket: int):
-    """Run the event net over one padded prompt; returns (k, v, hidden_last).
+    """Run the event net over a GROUP of padded prompts in one forward.
 
-    k/v: [L, 1, bucket, H, D] — positions >= p_len contain pad-garbage that the
-    per-row valid length keeps unattended after splicing.
+    prompt [G, bucket, T], p_len [G]; returns (k, v [L, G, bucket, H, D],
+    h_last [G, D]).  Positions >= p_len contain pad-garbage that the
+    per-row valid length keeps unattended after splicing.  Same-bucket
+    requests admitted in one wave share this single batched forward (G is
+    padded to a power of two, so at most 4 program variants per bucket
+    ever compile) instead of G serial B=1 dispatches.
     """
     dtype = params["lm_head"].dtype
-    cache = KVCache.zeros(config.net, 1, bucket, dtype=dtype)
-    # Embed in 16-event chunks: the fused pad+clamp+gather of a whole [1,
-    # bucket>=64, 8] prompt exceeds the 16 MB scoped-VMEM budget on this
-    # XLA (same family as the train-path convert+gather bug; see
+    g = prompt.shape[0]
+    cache = KVCache.zeros(config.net, g, bucket, dtype=dtype)
+    # Embed in 16-event chunks: the fused pad+clamp+gather of a whole
+    # [G, bucket>=64, 8] prompt exceeds the 16 MB scoped-VMEM budget on
+    # this XLA (same family as the train-path convert+gather bug; see
     # trainer.loss_fn). lax.map serializes the gathers, which is noise next
     # to the transformer forward.
     t_max = prompt.shape[-1]
     emb = jax.lax.map(lambda c: midinet.embed_events(params, c),
-                      prompt[0].reshape(-1, 16, t_max))
-    emb = emb.reshape(1, bucket, -1)
+                      prompt.reshape(g, -1, 16, t_max).swapaxes(0, 1))
+    emb = emb.swapaxes(0, 1).reshape(g, bucket, -1)
     hidden, cache = llama.forward(params["net"], config.net, emb, cache=cache,
                                   prefill=True)
-    h_last = jax.lax.dynamic_index_in_dim(hidden[0], p_len - 1, axis=0,
-                                          keepdims=False)
+    h_last = jnp.take_along_axis(
+        hidden, jnp.maximum(p_len - 1, 0)[:, None, None].astype(jnp.int32),
+        axis=1)[:, 0]
     return cache.k, cache.v, h_last
 
 
@@ -465,26 +471,51 @@ class ContinuousBatcher:
         self._admit()
         return rid
 
-    def _admit(self):
-        while self.queue:
-            free = next((i for i, s in enumerate(self.slots) if not s.active), None)
-            if free is None:
-                return
-            rid, prompt, budget, knobs, allow = self.queue.pop(0)
-            self._install(free, rid, prompt, budget, knobs, allow)
+    _MAX_PREFILL_GROUP = 8  # caps the batched-prefill scratch cache size
 
-    def _install(self, slot: int, rid: int, prompt: np.ndarray, budget: int,
-                 knobs=None, allow=None):
+    def _admit(self):
+        """Move queued requests into free slots.
+
+        Same-bucket requests in the wave share ONE batched prefill forward
+        (G padded to a power of two, capped at ``_MAX_PREFILL_GROUP``) —
+        a flood of short requests previously paid one serial B=1 prefill
+        dispatch each; splices stay per-request (cheap page writes).
+        """
+        free = [i for i, s in enumerate(self.slots) if not s.active]
+        if not free or not self.queue:
+            return
+        take = self.queue[: len(free)]
+        del self.queue[: len(take)]
+        ps = self.page_size
+        t_max = self.tokenizer.max_token_seq
+        groups: Dict[int, list] = {}
+        for item, slot in zip(take, free):
+            p_len = item[1].shape[0]
+            bucket = next(b for b in PREFILL_BUCKETS if b >= p_len)
+            bucket = ((bucket + ps - 1) // ps) * ps  # whole pages
+            groups.setdefault(bucket, []).append((slot, item))
+        for bucket, members in groups.items():
+            for at in range(0, len(members), self._MAX_PREFILL_GROUP):
+                part = members[at: at + self._MAX_PREFILL_GROUP]
+                g = len(part)
+                gpad = 1 << (g - 1).bit_length()
+                padded = np.full((gpad, bucket, t_max),
+                                 self.tokenizer.pad_id, np.int32)
+                p_lens = np.ones((gpad,), np.int32)
+                for j, (_, (rid, prompt, *_rest)) in enumerate(part):
+                    padded[j, : prompt.shape[0]] = prompt
+                    p_lens[j] = prompt.shape[0]
+                pre_k, pre_v, h_last = _prefill_request(
+                    self.params, self.config, jnp.asarray(padded),
+                    jnp.asarray(p_lens), bucket)
+                for j, (slot, item) in enumerate(part):
+                    self._install(slot, item, pre_k[:, j: j + 1],
+                                  pre_v[:, j: j + 1], h_last[j])
+
+    def _install(self, slot: int, item, pre_k, pre_v, h_last):
+        rid, prompt, budget, knobs, allow = item
         p_len = prompt.shape[0]
         ps = self.page_size
-        bucket = next(b for b in PREFILL_BUCKETS if b >= p_len)
-        bucket = ((bucket + ps - 1) // ps) * ps  # whole pages
-        padded = np.full((1, bucket, self.tokenizer.max_token_seq),
-                         self.tokenizer.pad_id, np.int32)
-        padded[0, :p_len] = prompt
-        pre_k, pre_v, h_last = _prefill_request(
-            self.params, self.config, jnp.asarray(padded),
-            jnp.asarray(p_len, jnp.int32), bucket)
         if self.mesh is not None:
             (self._pools, self._hidden, self._index) = self._splice_dp(
                 jnp.asarray(slot, jnp.int32), jnp.asarray(p_len, jnp.int32),
