@@ -259,9 +259,16 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
             == jax.lax.broadcasted_iota(jnp.int32, (num_heads, w), 0)
             ).astype(jnp.float32)  # [H, W]
 
+    # 3-deep buffer rotation: with 2 buffers at most ONE copy is in flight
+    # while a block computes; the third buffer keeps 2 outstanding, hiding
+    # the per-block issue+wait latency across slot boundaries
     @pl.when(total > 0)
     def _():
         copy_block(0, 0)
+
+    @pl.when(total > 1)
+    def _():
+        copy_block(1, 1)
 
     i0 = jnp.zeros((), jnp.int32)
     for s in range(b):
@@ -272,11 +279,11 @@ def _fused_step_kernel(  # noqa: C901 - one kernel, one pipeline
         def blk_loop(j, carry, i0=i0, length=length, q_rowb=q_rowb):
             acc, m, l = carry
             i = i0 + j
-            slot = jax.lax.rem(i, 2)
+            slot = jax.lax.rem(i, 3)
 
-            @pl.when(i + 1 < total)
+            @pl.when(i + 2 < total)
             def _():
-                copy_block(i + 1, 1 - slot)
+                copy_block(i + 2, jax.lax.rem(i + 2, 3))
 
             wait_block(i, slot)
             k_blk = kbuf[slot].reshape(bk, w)
@@ -543,13 +550,13 @@ def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
     any_ = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
         pltpu.VMEM((b, d), dtype),        # xs residual stream
-        pltpu.VMEM((2, ppcb, page_size, w), pools.k.dtype),
-        pltpu.VMEM((2, ppcb, page_size, w), pools.v.dtype),
+        pltpu.VMEM((3, ppcb, page_size, w), pools.k.dtype),
+        pltpu.VMEM((3, ppcb, page_size, w), pools.v.dtype),
     ]
     if quantized:
         scratch += [
-            pltpu.VMEM((2, ppcb, page_size, LANE), jnp.bfloat16),  # scales
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((3, ppcb, page_size, LANE), jnp.bfloat16),  # scales
+            pltpu.SemaphoreType.DMA((3, 3)),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((b, d), dtype),
@@ -561,7 +568,7 @@ def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
         aliases = {}
     else:
         scratch += [
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((3, 2)),
             pltpu.VMEM((b, RMW_ROWS, w), pools.k.dtype),  # k RMW tiles
             pltpu.VMEM((b, RMW_ROWS, w), pools.v.dtype),  # v RMW tiles
             pltpu.SemaphoreType.DMA((b, 2)),
@@ -603,10 +610,10 @@ def fused_decode_step(fused: dict, cfg, x: jax.Array, pools: PagedPools,
                  for n in ("wqkv", "wo", "wgu", "wd", "ln"))
     wbytes *= jnp.dtype(dtype).itemsize
     kv_itemsize = jnp.dtype(pools.k.dtype).itemsize
-    scratch_bytes = b * d * 2 + 2 * 2 * bk * w * kv_itemsize \
+    scratch_bytes = b * d * 2 + 3 * 2 * bk * w * kv_itemsize \
         + b * num_heads * (w + 2) * 4  # parked flash state
     if quantized:
-        scratch_bytes += 2 * 2 * bk * LANE  # bf16 scale stream
+        scratch_bytes += 3 * 2 * bk * LANE  # bf16 scale stream
         scratch_bytes += 2 * 2 * b * w * 2  # double-buffered fresh-row outs
     else:
         scratch_bytes += 2 * b * RMW_ROWS * w * 2  # RMW tiles

@@ -501,6 +501,13 @@ def _decode_kernel_stream(*args, page_size: int, ppcb: int, pages_per_slot: int,
     def _():
         copy_block(0, 0)
 
+        # 3-deep buffer rotation (2 copies in flight while a block
+        # computes — hides the per-block issue+wait latency; measured
+        # ~2.24 -> 2.07 us/cache-row on the fused whole-step kernel)
+        @pl.when(total > 1)
+        def _():
+            copy_block(1, 1)
+
         # slot-outer / block-inner: the flash state stays in REGISTERS for
         # a slot's whole block run (a flat single loop paid an [H, W] f32
         # scratch load+store per block, ~10% of the aligned decode step);
@@ -514,11 +521,11 @@ def _decode_kernel_stream(*args, page_size: int, ppcb: int, pages_per_slot: int,
             def blk_loop(j, carry):
                 acc, m, l = carry
                 i = i0 + j
-                slot = jax.lax.rem(i, 2)
+                slot = jax.lax.rem(i, 3)
 
-                @pl.when(i + 1 < total)
+                @pl.when(i + 2 < total)
                 def _():
-                    copy_block(i + 1, 1 - slot)
+                    copy_block(i + 2, jax.lax.rem(i + 2, 3))
 
                 wait_block(i, slot)
                 # whole block as ONE [bk, W] operand (the [ppcb, ps, W]
@@ -742,13 +749,13 @@ def _decode_tpu_stream(q_diag, pools: PagedPools, lengths, base_pages, write=Non
     ]
     out_specs = [vmem, vmem, vmem]
     aliases = {}
-    scratch = [
-        pltpu.VMEM((2, ppcb, page_size, w), pools.k.dtype),
-        pltpu.VMEM((2, ppcb, page_size, w), pools.v.dtype),
+    scratch = [  # 3-deep rotation: 2 block copies in flight during compute
+        pltpu.VMEM((3, ppcb, page_size, w), pools.k.dtype),
+        pltpu.VMEM((3, ppcb, page_size, w), pools.v.dtype),
     ]
     if quantized:
-        scratch.append(pltpu.VMEM((2, ppcb, page_size, LANE), jnp.bfloat16))
-    scratch.append(pltpu.SemaphoreType.DMA((2, n_pools)))
+        scratch.append(pltpu.VMEM((3, ppcb, page_size, LANE), jnp.bfloat16))
+    scratch.append(pltpu.SemaphoreType.DMA((3, n_pools)))
     scratch += [
         pltpu.VMEM((b, num_heads, w), jnp.float32),   # accs
         pltpu.VMEM((b, num_heads, 1), jnp.float32),   # ms
