@@ -299,13 +299,19 @@ def _decode_kernel_cell(*args, page_size: int, ppcb: int, pages_per_slot: int,
     def _():
         copy_block(0, 0)
 
+        # 3-deep rotation: 2 copies in flight while a block computes (hides
+        # the per-block issue+wait latency; see the streaming kernel)
+        @pl.when(n_blocks > 1)
+        def _():
+            copy_block(1, 1)
+
         def body(i, carry):
             acc, m, l = carry  # [H, W] f32, [H, 1], [H, 1]
-            slot = jax.lax.rem(i, 2)
+            slot = jax.lax.rem(i, 3)
 
-            @pl.when(i + 1 < n_blocks)
+            @pl.when(i + 2 < n_blocks)
             def _():
-                copy_block(i + 1, 1 - slot)
+                copy_block(i + 2, jax.lax.rem(i + 2, 3))
 
             wait_block(i, slot)
             qd = qd_ref[...]  # [W, H]
@@ -646,13 +652,13 @@ def _decode_tpu_cell(q_diag, pools: PagedPools, lengths, base_pages, write=None,
         pl.BlockSpec((None, num_heads, 1), lambda b, *_: (b, 0, 0)),
     ]
     aliases = {}
-    scratch = [
-        pltpu.VMEM((2, ppcb, page_size, w), pools.k.dtype),
-        pltpu.VMEM((2, ppcb, page_size, w), pools.v.dtype),
+    scratch = [  # 3-deep rotation: 2 block copies in flight during compute
+        pltpu.VMEM((3, ppcb, page_size, w), pools.k.dtype),
+        pltpu.VMEM((3, ppcb, page_size, w), pools.v.dtype),
     ]
     if quantized:
-        scratch.append(pltpu.VMEM((2, ppcb, page_size, LANE), jnp.bfloat16))
-    scratch.append(pltpu.SemaphoreType.DMA((2, n_pools)))
+        scratch.append(pltpu.VMEM((3, ppcb, page_size, LANE), jnp.bfloat16))
+    scratch.append(pltpu.SemaphoreType.DMA((3, n_pools)))
     if append:
         new_k, new_v, new_s, wpages, woffs = write
         scalars += [wpages.astype(jnp.int32), woffs.astype(jnp.int32)]
