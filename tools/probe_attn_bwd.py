@@ -9,13 +9,16 @@ kernel, so block tuning happens at kernel granularity instead of via
 full-train-step recompiles (~2 min each on the axon tunnel).
 
 MEASUREMENT RULE (learned here): on the axon tunnel,
-``block_until_ready`` on the first call of a fresh executable can return
-BEFORE the device work completes (the wait lands on the next call), so a
-``min`` over per-call timings picks up a phantom ~0 ms sample.  The
-harness therefore: compiles, runs one throwaway timed call, then reports
-the MEAN of 3 further calls — each with a unique input tensor — with
-iterations chained inside one jit (N=16) so per-dispatch overhead
-divides away.
+``block_until_ready`` can return BEFORE the device work completes — for
+some programs (the JAX flash kernel chains) EVERY call returns early and
+the timings read as 0 ms.  The only reliable sync is a device->host
+readback, so each timed call ends with ``jnp.asarray(out).ravel()[0]``
+materialized via ``float()``.  The harness: compiles, runs one throwaway
+timed call, then reports the MEAN of 3 further calls — each with a
+unique input tensor.  The tunnel adds a ~31 ms FIXED overhead per
+dispatch, so per-iter time is computed by N-DIFFERENCING: the chain is
+compiled at N=8 and N=40 and per-iter = (T40 - T8) / 32, which cancels
+the fixed overhead exactly.
 """
 
 import sys
@@ -27,20 +30,31 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
-N = 16
+N_LO, N_HI = 8, 40
+
+
+def _sync(out):
+    # device->host readback: the only wait the axon tunnel honors.
+    return float(jnp.asarray(out).ravel()[0].astype(jnp.float32))
+
+
+def _time_calls(fn, variants):
+    _sync(fn(*variants[0]))  # compile
+    _sync(fn(*variants[1]))  # throwaway (phantom-fast)
+    times = []
+    for args in variants[2:]:
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return sum(times) / len(times)
 
 
 def timeit(make_fn, label, flops_per_iter=None):
     try:
-        fn, variants = make_fn()
-        jax.block_until_ready(fn(*variants[0]))  # compile
-        jax.block_until_ready(fn(*variants[1]))  # throwaway (phantom-fast)
-        times = []
-        for args in variants[2:]:
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
-            times.append(time.perf_counter() - t0)
-        ms = sum(times) / len(times) / N * 1000
+        fns, variants = make_fn()
+        t_lo = _time_calls(fns[0], variants)
+        t_hi = _time_calls(fns[1], variants)
+        ms = (t_hi - t_lo) / (N_HI - N_LO) * 1000
         note = ""
         if flops_per_iter:
             note = f"  [{flops_per_iter / (ms / 1e3) / 1e12:.1f} TF/s]"
@@ -67,11 +81,13 @@ def main():
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     def chain_fwd(attn):
-        def f(q, k, v):
-            def body(i, acc):
-                return attn(acc, k, v).astype(jnp.bfloat16)
-            return jax.lax.fori_loop(0, N, body, q)
-        return jax.jit(f)
+        def make(n):
+            def f(q, k, v):
+                def body(i, acc):
+                    return attn(acc, k, v).astype(jnp.bfloat16)
+                return jax.lax.fori_loop(0, n, body, q)
+            return jax.jit(f)
+        return make(N_LO), make(N_HI)
 
     def chain_grad(attn):
         def loss(q, k, v):
@@ -80,13 +96,15 @@ def main():
 
         g = jax.grad(loss, argnums=(0, 1, 2))
 
-        def f(q, k, v):
-            def body(i, qq):
-                dq, dk, dv = g(qq, k, v)
-                return (qq + dq * 1e-9 + dk * 1e-9 + dv * 1e-9
-                        ).astype(jnp.bfloat16)
-            return jax.lax.fori_loop(0, N, body, q)
-        return jax.jit(f)
+        def make(n):
+            def f(q, k, v):
+                def body(i, qq):
+                    dq, dk, dv = g(qq, k, v)
+                    return (qq + dq * 1e-9 + dk * 1e-9 + dv * 1e-9
+                            ).astype(jnp.bfloat16)
+                return jax.lax.fori_loop(0, n, body, q)
+            return jax.jit(f)
+        return make(N_LO), make(N_HI)
 
     def variants(fn):
         return lambda: (fn, [(q, k, v) for q in qs])
