@@ -103,9 +103,18 @@ class PagedPools(NamedTuple):
 
 
 def alloc_pools(kv_heads: int, n_pages: int, page_size: int, head_dim: int,
-                dtype, quantized: bool = False) -> PagedPools:
-    """Zeroed pools; ``quantized`` selects int8 storage + a bf16 scale pool."""
-    shape = (n_pages, page_size, kv_heads * head_stride(head_dim, kv_heads))
+                dtype, quantized: bool = False, shards: int = 1) -> PagedPools:
+    """Zeroed pools; ``quantized`` selects int8 storage + a bf16 scale pool.
+
+    ``shards``: lane-shard count when the pool will be split over a model
+    axis (tensor-parallel serving).  The per-head stride must then be the
+    stride each shard computes from its LOCAL head count — global and local
+    strides agree for the real configs (16 heads x 64 dims packs dense at
+    any split), but diverge when a shard's ``Hkv_local * head_dim`` is not
+    lane-aligned (head_stride pads per shard)."""
+    hkv_local = kv_heads // shards
+    shape = (n_pages, page_size,
+             shards * hkv_local * head_stride(head_dim, hkv_local))
     if quantized:
         assert 2 * kv_heads <= LANE, "k+v scales must fit one 128-lane row"
         return PagedPools(

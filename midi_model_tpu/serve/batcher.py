@@ -84,9 +84,9 @@ class Finished:
     reason: str  # "eos" | "budget"
 
 
-@functools.partial(jax.jit, static_argnames=("config", "bucket"))
-def _prefill_request(params, config: MIDIModelConfig, prompt: jax.Array,
-                     p_len: jax.Array, bucket: int):
+def _prefill_impl(params, config: MIDIModelConfig, prompt: jax.Array,
+                  p_len: jax.Array, bucket: int,
+                  tp_axis: Optional[str] = None):
     """Run the event net over a GROUP of padded prompts in one forward.
 
     prompt [G, bucket, T], p_len [G]; returns (k, v [L, G, bucket, H, D],
@@ -95,6 +95,10 @@ def _prefill_request(params, config: MIDIModelConfig, prompt: jax.Array,
     requests admitted in one wave share this single batched forward (G is
     padded to a power of two, so at most 4 program variants per bucket
     ever compile) instead of G serial B=1 dispatches.
+
+    ``tp_axis``: Megatron shard pass — ``config`` is then the LOCAL view
+    (this shard's heads/mlp slice, sampling/sharded.tp_local_config) and
+    the returned k/v hold only this shard's heads.
     """
     dtype = params["lm_head"].dtype
     g = prompt.shape[0]
@@ -109,11 +113,15 @@ def _prefill_request(params, config: MIDIModelConfig, prompt: jax.Array,
                       prompt.reshape(g, -1, 16, t_max).swapaxes(0, 1))
     emb = emb.swapaxes(0, 1).reshape(g, bucket, -1)
     hidden, cache = llama.forward(params["net"], config.net, emb, cache=cache,
-                                  prefill=True)
+                                  prefill=True, tp_axis=tp_axis)
     h_last = jnp.take_along_axis(
         hidden, jnp.maximum(p_len - 1, 0)[:, None, None].astype(jnp.int32),
         axis=1)[:, 0]
     return cache.k, cache.v, h_last
+
+
+_prefill_request = functools.partial(
+    jax.jit, static_argnames=("config", "bucket"))(_prefill_impl)
 
 
 def _splice_impl(slot, mine, p_len, pools, hidden_all, index_all,
@@ -184,7 +192,8 @@ def _splice_slot(slot, p_len, pools, hidden_all, index_all,
 def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
                top_p, top_k, key, chunk: int, greedy: bool = False,
                allow=None, fused=None, *, page_size: int,
-               pages_per_slot: int, token_kernel_ok: bool = True):
+               pages_per_slot: int, token_kernel_ok: bool = True,
+               tp_axis: Optional[str] = None):
     """Decode ``chunk`` events for all slots (one dispatch).
 
     carry = (pools, index [B], hidden [B, D]); allow [B, V] 0/1 (optional):
@@ -229,7 +238,7 @@ def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
             h, pools = llama.decode_paged(
                 params["net"], config.net, emb.astype(dtype), pools,
                 index, alive, page_size=page_size,
-                pages_per_slot=pages_per_slot)
+                pages_per_slot=pages_per_slot, tp_axis=tp_axis)
         # only live slots advance / take the new hidden
         new_index = jnp.where(alive, jnp.minimum(index + 1, capacity), index)
         hidden_new = jnp.where(alive[:, None], h, hidden)
@@ -250,55 +259,78 @@ _step = functools.partial(jax.jit, donate_argnums=(2,),
                                            "token_kernel_ok"))(_step_impl)
 
 
-def _pool_specs(quantized: bool):
+def _pool_specs(quantized: bool, tp: bool = False):
     from jax.sharding import PartitionSpec as P
 
     from ..ops.paged_allheads import PagedPools
-    from ..parallel.mesh import DATA_AXIS
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-    return PagedPools(k=P(DATA_AXIS), v=P(DATA_AXIS),
+    m = MODEL_AXIS if tp else None
+    return PagedPools(k=P(DATA_AXIS, None, m), v=P(DATA_AXIS, None, m),
                       scales=P(DATA_AXIS) if quantized else None)
 
 
 def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
                  greedy: bool, page_size: int, pages_per_slot: int,
-                 token_kernel_ok: bool, local_slots: int, use_fused: bool):
-    """Build the jitted shard_map'd (step, splice) pair for a data-sharded
-    batcher: slots are partitioned over the mesh's ``data`` axis and every
-    shard runs the full single-chip decode program on its local slots — zero
-    cross-device traffic in the loop (same scale-out story as
-    sampling/sharded.py, which shard_maps only the *aligned* generate).
+                 token_kernel_ok: bool, local_slots: int, use_fused: bool,
+                 tp: int = 1):
+    """Build the jitted shard_map'd (step, splice, prefill) triple for a
+    mesh-sharded batcher: slots are partitioned over the mesh's ``data``
+    axis and every shard runs the full single-chip decode program on its
+    local slots — zero cross-device traffic in the data direction (same
+    scale-out story as sampling/sharded.py, which shard_maps only the
+    *aligned* generate).
 
-    The PRNG key is folded with the shard index so slot streams on different
-    shards are decorrelated; greedy decode is bit-identical to the
-    single-chip batcher slot-for-slot (tests/test_batcher_dp.py).
+    ``tp > 1`` composes the Megatron model axis into the same programs:
+    each model shard holds its heads/mlp slice of the event net (weights
+    column/row-parallel, pools lane-sharded on the packed-head axis) and
+    the per-layer o/down matmuls psum over ``model`` — tv2o-large bf16
+    serves high slot counts without int8.  The token net + sampler stay
+    replicated across the model axis (identical inputs -> bit-identical
+    rows on every shard), so admission/retirement on the host is unchanged.
+
+    The PRNG key is folded with the data-shard index only, so slot streams
+    on different data shards are decorrelated while model shards stay in
+    lockstep; greedy decode is bit-identical to the single-chip batcher
+    slot-for-slot (tests/test_batcher_dp.py, test_batcher_tp.py).
+
+    Returns (step, splice, prefill) — ``prefill`` is None when tp == 1
+    (the single-chip ``_prefill_request`` works on replicated params).
     """
     from jax.sharding import PartitionSpec as P
 
-    from ..parallel.mesh import DATA_AXIS
-    from ..sampling.sharded import shard_map
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from ..sampling.sharded import shard_map, tp_local_config, tp_param_specs
 
-    pool_spec = _pool_specs(quantized)
+    tp_on = tp > 1
+    cfg_local = tp_local_config(config, tp) if tp_on else config
+    tp_axis = MODEL_AXIS if tp_on else None
+    pspec = tp_param_specs() if tp_on else P()
+    pool_spec = _pool_specs(quantized, tp_on)
     carry_spec = (pool_spec, P(DATA_AXIS), P(DATA_AXIS))
     mask_spec = (P(), P(), P())
 
     def step_local(params, carry, masks, active, temp, top_p, top_k, allow,
                    key, fused):
         idx = jax.lax.axis_index(DATA_AXIS)
-        return _step_impl(params, config, carry, masks, active, temp, top_p,
-                          top_k, jax.random.fold_in(key, idx), chunk, greedy,
-                          allow, fused if use_fused else None,
+        return _step_impl(params, cfg_local, carry, masks, active, temp,
+                          top_p, top_k, jax.random.fold_in(key, idx), chunk,
+                          greedy, allow,
+                          fused if use_fused and not tp_on else None,
                           page_size=page_size,
                           pages_per_slot=pages_per_slot,
-                          token_kernel_ok=token_kernel_ok)
+                          token_kernel_ok=token_kernel_ok, tp_axis=tp_axis)
 
     step_dp = jax.jit(
         shard_map(step_local, mesh=mesh,
-                  in_specs=(P(), carry_spec, mask_spec, P(DATA_AXIS),
+                  in_specs=(pspec, carry_spec, mask_spec, P(DATA_AXIS),
                             P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                             P(DATA_AXIS), P(), P()),
                   out_specs=(carry_spec, P(DATA_AXIS))),
         donate_argnums=(1,))
+
+    # prefill k/v come out holding only each model shard's heads
+    pre_spec = P(None, None, None, MODEL_AXIS) if tp_on else P()
 
     def splice_local(slot, p_len, pools, hidden_all, index_all,
                      pre_k, pre_v, h_last):
@@ -314,11 +346,24 @@ def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
     splice_dp = jax.jit(
         shard_map(splice_local, mesh=mesh,
                   in_specs=(P(), P(), carry_spec[0], P(DATA_AXIS),
-                            P(DATA_AXIS), P(), P(), P()),
+                            P(DATA_AXIS), pre_spec, pre_spec, P()),
                   out_specs=(carry_spec[0], P(DATA_AXIS), P(DATA_AXIS))),
         donate_argnums=(2,))
 
-    return step_dp, splice_dp
+    prefill_tp = None
+    if tp_on:
+        @functools.partial(jax.jit, static_argnames=("bucket",))
+        def prefill_tp(params, prompt, p_len, bucket):
+            def inner(params, prompt, p_len):
+                return _prefill_impl(params, cfg_local, prompt, p_len,
+                                     bucket, tp_axis=MODEL_AXIS)
+
+            return shard_map(inner, mesh=mesh,
+                             in_specs=(pspec, P(), P()),
+                             out_specs=(pre_spec, pre_spec, P()))(
+                                 params, prompt, p_len)
+
+    return step_dp, splice_dp, prefill_tp
 
 
 class ContinuousBatcher:
@@ -330,18 +375,31 @@ class ContinuousBatcher:
         """``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis shards the
         ``n_slots`` slots over its data dimension — every chip runs the full
         decode stack on its local slots with zero in-loop collectives, so
-        throughput scales as chips × the single-chip numbers.  The host-side
-        API (submit/step/run_all) is unchanged; ``n_slots`` must divide by
-        the data-axis size."""
+        throughput scales as chips × the single-chip numbers.  A ``model``
+        axis of size > 1 additionally shards the event net Megatron-style
+        (heads/mlp column- and row-parallel, pools lane-sharded, two psums
+        per layer) — the tv2o-large bf16 capacity answer at high slot
+        counts without int8 (which the model axis does not support: the
+        combined k+v scale rows interleave heads in one 128-lane row).
+        The host-side API (submit/step/run_all) is unchanged; ``n_slots``
+        must divide by the data-axis size."""
         import os
 
-        from ..parallel.mesh import DATA_AXIS
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
         self.mesh = mesh
         dp = int(mesh.shape[DATA_AXIS]) if mesh is not None else 1
+        tp = int(dict(mesh.shape).get(MODEL_AXIS, 1)) if mesh is not None else 1
         if n_slots % dp:
             raise ValueError(f"n_slots={n_slots} not divisible by the mesh's "
                              f"data axis size {dp}")
+        if tp > 1 and kv_int8:
+            raise ValueError(
+                "kv_int8 pools cannot shard over the model axis: the "
+                "combined k+v scale rows interleave heads within one "
+                "128-lane row (sampling/sharded._tp_state_specs); use bf16 "
+                "pools under tensor parallelism")
+        self.tp = tp
         local_slots = n_slots // dp
         if (local_slots == 64 and jax.default_backend() == "tpu"
                 and not os.environ.get("MIDI_TPU_ALLOW_64_SLOTS")):
@@ -388,7 +446,7 @@ class ContinuousBatcher:
         n_pages = net.num_layers * n_slots * self.pages_per_slot
         self._pools = alloc_pools(
             net.kv_heads, n_pages, page_size, net.head_dim, dtype,
-            quantized=kv_int8)
+            quantized=kv_int8, shards=tp)
         # whole-step event-net kernel (TPU/bf16/MHA): the per-layer weight
         # concats are built ONCE here (they duplicate the event-net layer
         # weights in HBM — ~0.4 GB for tv2o-medium — in exchange for the
@@ -403,24 +461,31 @@ class ContinuousBatcher:
 
         self._fused = (_fs.prepare_fused(params["net"])
                        if _fs.usable(params, config, self._pools)
-                       and not self._token_kernel_ok else None)
+                       and not self._token_kernel_ok and tp == 1 else None)
         self._index = jnp.zeros((n_slots,), jnp.int32)
         self._hidden = jnp.zeros((n_slots, config.n_embd), dtype)
+        self._prefill_tp = None
         if mesh is not None:
-            # shard every slot-indexed buffer over the data axis; the pool
+            # shard every slot-indexed buffer over the data axis (and the
+            # pools' packed-head lane axis over model when tp > 1); the pool
             # page axis is (layer*local_slots + local_slot)-major PER SHARD,
             # so the global page index means nothing off-device — only the
             # shard_map'd programs below ever index it.
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(mesh, P(DATA_AXIS))
-            self._pools = jax.tree.map(
-                lambda x: jax.device_put(x, shard), self._pools)
+            pool_sh = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), _pool_specs(kv_int8, tp > 1),
+                is_leaf=lambda x: isinstance(x, P))
+            self._pools = jax.tree.map(jax.device_put, self._pools, pool_sh)
             self._index = jax.device_put(self._index, shard)
             self._hidden = jax.device_put(self._hidden, shard)
-            self._step_dp, self._splice_dp = _make_dp_fns(
+            if tp > 1:
+                from ..sampling.sharded import tp_shard_params
+                self.params = params = tp_shard_params(params, mesh)
+            self._step_dp, self._splice_dp, self._prefill_tp = _make_dp_fns(
                 mesh, kv_int8, config, chunk, greedy, page_size,
                 self.pages_per_slot, self._token_kernel_ok, local_slots,
-                use_fused=self._fused is not None)
+                use_fused=self._fused is not None, tp=tp)
         self._active = np.zeros((n_slots,), bool)
         # per-slot sampling knobs (requests override batcher defaults)
         self._temp = np.full((n_slots,), temp, np.float32)
@@ -505,9 +570,14 @@ class ContinuousBatcher:
                 for j, (_, (rid, prompt, *_rest)) in enumerate(part):
                     padded[j, : prompt.shape[0]] = prompt
                     p_lens[j] = prompt.shape[0]
-                pre_k, pre_v, h_last = _prefill_request(
-                    self.params, self.config, jnp.asarray(padded),
-                    jnp.asarray(p_lens), bucket)
+                if self._prefill_tp is not None:
+                    pre_k, pre_v, h_last = self._prefill_tp(
+                        self.params, jnp.asarray(padded),
+                        jnp.asarray(p_lens), bucket=bucket)
+                else:
+                    pre_k, pre_v, h_last = _prefill_request(
+                        self.params, self.config, jnp.asarray(padded),
+                        jnp.asarray(p_lens), bucket)
                 for j, (slot, item) in enumerate(part):
                     self._install(slot, item, pre_k[:, j: j + 1],
                                   pre_v[:, j: j + 1], h_last[j])
