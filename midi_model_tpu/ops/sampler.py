@@ -91,10 +91,16 @@ def sample_top_p_k_tpu(probs: jax.Array, top_p, top_k, key: jax.Array,
     Reference-exact keep semantics; draw realized via Gumbel-argmax (same
     distribution as the XLA path's ``jax.random.categorical``).  ``top_p`` /
     ``top_k`` may be scalars or per-row [B] vectors (continuous batching
-    serves requests with different sampling knobs in one batch).
+    serves requests with different sampling knobs in one batch).  ``key``
+    [2] shares one Gumbel stream across rows; [B, 2] gives each row its own
+    (per-request seed reproducibility in the continuous batcher).
     """
     b, v = probs.shape
-    g = jax.random.gumbel(key, (b, k_cap), jnp.float32)
+    if key.ndim == 2:
+        g = jax.vmap(
+            lambda k: jax.random.gumbel(k, (k_cap,), jnp.float32))(key)
+    else:
+        g = jax.random.gumbel(key, (b, k_cap), jnp.float32)
     topp = _per_row(top_p, b, jnp.float32)
     topk = _per_row(top_k, b, jnp.int32)
     maxk = jnp.max(topk).reshape(1)

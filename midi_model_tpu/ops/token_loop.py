@@ -257,8 +257,17 @@ def decode_token_row(params: dict, config, hidden: jax.Array, masks,
 
     cos, sin = rope_cos_sin(jnp.arange(t_max), tok_cfg.head_dim,
                             tok_cfg.rope_theta)  # [T, dh] f32
-    gumbel = (jnp.zeros((t_max * b, K_CAP), jnp.float32) if greedy
-              else jax.random.gumbel(key, (t_max * b, K_CAP), jnp.float32))
+    if greedy:
+        gumbel = jnp.zeros((t_max * b, K_CAP), jnp.float32)
+    elif key.ndim == 2:  # per-row keys [B, 2] (batcher per-request seeds):
+        # each row draws its own [t_max, K] stream, laid out step-major to
+        # match the kernel's g_step slicing (row j*b + r = step j, row r)
+        gumbel = jnp.swapaxes(
+            jax.vmap(lambda k: jax.random.gumbel(
+                k, (t_max, K_CAP), jnp.float32))(key),
+            0, 1).reshape(t_max * b, K_CAP)
+    else:
+        gumbel = jax.random.gumbel(key, (t_max * b, K_CAP), jnp.float32)
     forced = (jnp.zeros((b, 1), jnp.int32) if forced_pad is None
               else forced_pad.astype(jnp.int32)[:, None])
 

@@ -139,7 +139,9 @@ def token_row_scan(params, config: MIDIModelConfig, hidden: jax.Array, masks,
     hidden [B, D]: event-net hidden; forced_pad [B] bool (optional): rows
     forced to emit pad rows (retired continuous-batching slots); allow
     [B, V] 0/1 (optional): per-row constraint plane multiplied into every
-    step's grammar mask (masks.build_allow_vector).
+    step's grammar mask (masks.build_allow_vector).  ``key`` [2] shares one
+    draw stream across rows; [B, 2] gives each row its own stream (the
+    batcher's per-request seeds).
     Returns (row [B, T] i32, ended [B] bool — eos emitted at step 0).
     """
     first, steps_tbl, pad_only = masks
@@ -185,7 +187,11 @@ def token_row_scan(params, config: MIDIModelConfig, hidden: jax.Array, masks,
             is_first, jnp.clip(tok - first_event_id, 0, n_events - 1), e_off)
         return (cache2, tok, ended, e_off), tok
 
-    keys = jax.random.split(key, t_max)
+    if key.ndim == 2:  # per-row keys [B, 2] -> per-step-per-row [T, B, 2]
+        keys = jnp.swapaxes(
+            jax.vmap(lambda k: jax.random.split(k, t_max))(key), 0, 1)
+    else:
+        keys = jax.random.split(key, t_max)
     init = (cache2, jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool),
             jnp.zeros((b,), jnp.int32))
     (cache2, _, ended, _), toks = jax.lax.scan(

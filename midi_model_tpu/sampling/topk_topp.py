@@ -47,6 +47,12 @@ def sample_top_p_k(probs: jax.Array, top_p, top_k, key: jax.Array,
     path but realizes a different draw for a given PRNG key (Gumbel-argmax
     vs inverse-CDF) — pass ``use_kernel=False`` to force the XLA sampler
     when cross-backend draw reproducibility matters (parity/debug runs).
+
+    ``key`` may be one raw PRNG key ([2] uint32, shared draw stream) or a
+    per-row batch of keys ([B, 2], 2-D probs only): each row then draws from
+    ITS OWN stream — the continuous batcher's per-request seed
+    reproducibility (a slot's draws depend only on its request's seed and
+    position, not on which other requests share the batch).
     """
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
@@ -62,7 +68,12 @@ def sample_top_p_k(probs: jax.Array, top_p, top_k, key: jax.Array,
     keep &= jnp.arange(k_cap) < top_k
     filtered = jnp.where(keep, sorted_probs, 0.0)
     filtered = filtered / filtered.sum(axis=-1, keepdims=True)
-    choice = jax.random.categorical(key, jnp.log(filtered))
+    if key.ndim == 2:  # per-row keys [B, 2]
+        if probs.ndim != 2:
+            raise ValueError("per-row keys require 2-D probs")
+        choice = jax.vmap(jax.random.categorical)(key, jnp.log(filtered))
+    else:
+        choice = jax.random.categorical(key, jnp.log(filtered))
     return jnp.take_along_axis(sorted_idx, choice[..., None], axis=-1)[..., 0]
 
 

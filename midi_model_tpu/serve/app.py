@@ -248,15 +248,18 @@ class MidiGenerationService:
         """Generation through the shared continuous batcher: this session's
         ``batch_size`` variation rows become slot admissions (other sessions'
         requests decode in the same device batch), streamed back as aligned
-        [B, n, T] chunks.  Per-request sampling knobs and grammar constraints
-        ride the batcher's per-slot planes; ``req.seed`` is not honoured here
-        (the batch shares one PRNG stream) — use the aligned path
-        (``batcher_slots=0``) for seed-reproducible runs."""
+        [B, n, T] chunks.  Per-request sampling knobs, grammar constraints
+        AND ``req.seed`` ride the batcher's per-slot planes — each slot
+        decodes from its own (seed, position)-keyed stream, so a seeded run
+        reproduces regardless of what other sessions share the batch
+        (tests/test_batcher_seed.py).  Draws differ from the aligned path's
+        for the same seed (per-slot streams vs one shared batch stream)."""
         head_len = max(0, prompt.shape[1] - self.context_limit)
         visible = prompt[:, head_len:]
         gen = self.batcher_service.submit_group(
             [visible[i].astype(np.int32) for i in range(visible.shape[0])],
             req.gen_events, temp=req.temp, top_p=req.top_p, top_k=req.top_k,
+            seed=req.seed,
             disable_patch_change=disable_patch_change,
             disable_control_change=not req.allow_cc,
             disable_channels=disable_channels)
@@ -645,6 +648,21 @@ def build_ui(service: MidiGenerationService, js_dir: Optional[str] = None,
     return app
 
 
+def resolve_batcher_slots(requested: int) -> int:
+    """CLI default resolution for ``--batcher-slots``.
+
+    Continuous batching is the serving default on TPU (21k ev/s at 128
+    slots vs one queued aligned session at a time; the reference queues
+    whole sessions, app.py:496); other backends keep the aligned path
+    (CPU dev boxes, parity runs).  ``requested`` >= 0 is explicit and wins.
+    """
+    if requested >= 0:
+        return requested
+    import jax
+
+    return 32 if jax.default_backend() == "tpu" else 0
+
+
 def main(argv=None):
     import argparse
 
@@ -668,11 +686,13 @@ def main(argv=None):
     ap.add_argument("--share", action="store_true")
     ap.add_argument("--kv-int8", action="store_true", default=False,
                     help="int8 KV cache (halves decode memory traffic)")
-    ap.add_argument("--batcher-slots", type=int, default=0,
+    ap.add_argument("--batcher-slots", type=int, default=-1,
                     help="share one continuous batcher across sessions: "
                          "concurrent requests become slot admissions "
-                         "instead of queued aligned runs (0 = aligned)")
+                         "instead of queued aligned runs (0 = aligned; "
+                         "default: 32 slots on TPU, aligned elsewhere)")
     args = ap.parse_args(argv)
+    args.batcher_slots = resolve_batcher_slots(args.batcher_slots)
     if not args.ckpt and not args.model_name:
         ap.error("one of --ckpt or --model-name is required")
 

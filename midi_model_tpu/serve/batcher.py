@@ -190,7 +190,7 @@ def _splice_slot(slot, p_len, pools, hidden_all, index_all,
 
 
 def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
-               top_p, top_k, key, chunk: int, greedy: bool = False,
+               top_p, top_k, slot_seed, chunk: int, greedy: bool = False,
                allow=None, fused=None, *, page_size: int,
                pages_per_slot: int, token_kernel_ok: bool = True,
                tp_axis: Optional[str] = None):
@@ -213,6 +213,13 @@ def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
     stops advancing, and the paged attention kernel skips it entirely —
     no wasted decode past retirement (round-1 weakness #3) and no silent
     writes past capacity (advisor finding #3).
+
+    ``slot_seed`` [B] uint32: per-slot PRNG seeds.  Each event's per-row key
+    is fold_in(PRNGKey(seed_b), index_b) — a slot's draw stream depends only
+    on its request's seed and its own sequence position, NOT on the chunk
+    boundary, the slot number, or which other requests share the batch, so
+    a seeded request reproduces exactly under any batch composition
+    (tests/test_batcher_seed.py).
     """
     dtype = params["lm_head"].dtype
     eos_id = config.tokenizer.eos_id
@@ -220,10 +227,13 @@ def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
     b = hidden.shape[0]
     capacity = page_size * pages_per_slot
 
-    def one_event(carry, ev_key):
+    def one_event(carry, _):
         pools, index, hidden, alive = carry
+        row_keys = jax.vmap(
+            lambda s, ix: jax.random.fold_in(jax.random.PRNGKey(s), ix))(
+                slot_seed, index)
         row, _ended = decode_token_row_any(
-            params, config, hidden, masks, temp, top_p, top_k, ev_key,
+            params, config, hidden, masks, temp, top_p, top_k, row_keys,
             greedy, forced_pad=~alive, kernel_ok=token_kernel_ok,
             allow=allow)
 
@@ -247,9 +257,8 @@ def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
         alive = alive & (row[:, 0] != eos_id) & (new_index < capacity)
         return (pools, new_index, hidden_new, alive), row
 
-    keys = jax.random.split(key, chunk)
     (pools, index, hidden, _), rows = jax.lax.scan(
-        one_event, (pools, index, hidden, active), keys)
+        one_event, (pools, index, hidden, active), None, length=chunk)
     return (pools, index, hidden), jnp.transpose(rows, (1, 0, 2))
 
 
@@ -289,10 +298,11 @@ def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
     replicated across the model axis (identical inputs -> bit-identical
     rows on every shard), so admission/retirement on the host is unchanged.
 
-    The PRNG key is folded with the data-shard index only, so slot streams
-    on different data shards are decorrelated while model shards stay in
-    lockstep; greedy decode is bit-identical to the single-chip batcher
-    slot-for-slot (tests/test_batcher_dp.py, test_batcher_tp.py).
+    PRNG: every slot carries its own seed (sharded over ``data`` with the
+    other slot-indexed arrays), so draws are per-request streams — identical
+    across mesh shapes AND to the single-chip batcher — while model shards
+    stay in lockstep; greedy decode is bit-identical to the single-chip
+    batcher slot-for-slot (tests/test_batcher_dp.py, test_batcher_tp.py).
 
     Returns (step, splice, prefill) — ``prefill`` is None when tp == 1
     (the single-chip ``_prefill_request`` works on replicated params).
@@ -311,10 +321,9 @@ def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
     mask_spec = (P(), P(), P())
 
     def step_local(params, carry, masks, active, temp, top_p, top_k, allow,
-                   key, fused):
-        idx = jax.lax.axis_index(DATA_AXIS)
+                   slot_seed, fused):
         return _step_impl(params, cfg_local, carry, masks, active, temp,
-                          top_p, top_k, jax.random.fold_in(key, idx), chunk,
+                          top_p, top_k, slot_seed, chunk,
                           greedy, allow,
                           fused if use_fused and not tp_on else None,
                           page_size=page_size,
@@ -325,7 +334,7 @@ def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
         shard_map(step_local, mesh=mesh,
                   in_specs=(pspec, carry_spec, mask_spec, P(DATA_AXIS),
                             P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                            P(DATA_AXIS), P(), P()),
+                            P(DATA_AXIS), P(DATA_AXIS), P()),
                   out_specs=(carry_spec, P(DATA_AXIS))),
         donate_argnums=(1,))
 
@@ -495,15 +504,20 @@ class ContinuousBatcher:
         # share the batch); all-ones slots keep the unconstrained program
         self._allow = np.ones((n_slots, config.tokenizer.vocab_size),
                               np.float32)
+        # per-slot PRNG seeds: each request decodes from its own stream keyed
+        # by (seed, position), so a seeded request reproduces exactly under
+        # any batch composition; unseeded requests get a deterministic
+        # per-request seed derived from (batcher seed, request id)
+        self._seed = np.zeros((n_slots,), np.uint32)
+        self._base_seed = seed
         self.slots = [_Slot() for _ in range(n_slots)]
         self.queue: List[tuple] = []
-        self._key = jax.random.PRNGKey(seed)
         self._next_id = 0
 
     # ---- submission ------------------------------------------------------
 
     def submit(self, prompt_rows, max_events: int, temp: float = None,
-               top_p: float = None, top_k: int = None,
+               top_p: float = None, top_k: int = None, seed: int = None,
                disable_patch_change: bool = False,
                disable_control_change: bool = False,
                disable_channels=None) -> int:
@@ -515,10 +529,16 @@ class ContinuousBatcher:
         ``disable_*`` grammar constraints are likewise per-request: they
         become the slot's row of the [B, V] allow plane
         (masks.build_allow_vector), so one batch serves requests with
-        different instrument/channel bans.
+        different instrument/channel bans.  ``seed`` pins this request's
+        draw stream: resubmitting the same prompt with the same seed yields
+        the same rows no matter which slot it lands in or what else shares
+        the batch (the reference's per-run torch seed, app.py generator).
         """
         rid = self._next_id
         self._next_id += 1
+        if seed is None:
+            seed = int(np.random.SeedSequence(
+                [self._base_seed, rid]).generate_state(1)[0])
         prompt = np.asarray(prompt_rows, dtype=np.int32)
         if prompt.ndim != 2:
             raise ValueError("prompt must be [events, max_token_seq]")
@@ -532,7 +552,8 @@ class ContinuousBatcher:
                 disable_channels=disable_channels).astype(np.float32)
         else:
             allow = None
-        self.queue.append((rid, prompt, max_events, knobs, allow))
+        self.queue.append((rid, prompt, max_events, knobs, allow,
+                           np.uint32(seed & 0xFFFFFFFF)))
         self._admit()
         return rid
 
@@ -583,7 +604,7 @@ class ContinuousBatcher:
                                   pre_v[:, j: j + 1], h_last[j])
 
     def _install(self, slot: int, item, pre_k, pre_v, h_last):
-        rid, prompt, budget, knobs, allow = item
+        rid, prompt, budget, knobs, allow, seed = item
         p_len = prompt.shape[0]
         ps = self.page_size
         if self.mesh is not None:
@@ -609,6 +630,7 @@ class ContinuousBatcher:
         self._temp[slot] = t
         self._top_p[slot] = p
         self._top_k[slot] = k
+        self._seed[slot] = seed
         self._allow[slot] = 1.0 if allow is None else allow
 
     # ---- decoding --------------------------------------------------------
@@ -628,11 +650,11 @@ class ContinuousBatcher:
             self._admit()
             if not self._active.any():
                 return []
-        self._key, sub = jax.random.split(self._key)
         carry = (self._pools, self._index, self._hidden)
         temp = jnp.asarray(self._temp)
         top_p = jnp.asarray(self._top_p)
         top_k = jnp.asarray(self._top_k)
+        seeds = jnp.asarray(self._seed)
         # the constraint plane only enters the program when some slot has a
         # ban (None keeps the unconstrained program; both variants cache)
         allow = (None if np.all(self._allow == 1.0)
@@ -641,13 +663,13 @@ class ContinuousBatcher:
             allow_dp = (jnp.asarray(self._allow) if allow is None else allow)
             carry, rows = self._step_dp(self.params, carry, self.masks,
                                         jnp.asarray(self._active), temp,
-                                        top_p, top_k, allow_dp, sub,
+                                        top_p, top_k, allow_dp, seeds,
                                         self._fused if self._fused is not None
                                         else {})
         else:
             carry, rows = _step(self.params, self.config, carry, self.masks,
                                 jnp.asarray(self._active), temp,
-                                top_p, top_k, sub, self.chunk,
+                                top_p, top_k, seeds, self.chunk,
                                 self.greedy, allow, self._fused,
                                 page_size=self.page_size,
                                 pages_per_slot=self.pages_per_slot,

@@ -75,16 +75,25 @@ class BatcherService:
         finished early are pad-filled (matching the aligned ``generate``,
         whose ended rows keep emitting pad rows).  After exhaustion,
         ``last_group`` holds each request's :class:`Finished`.
+
+        A ``seed`` kwarg seeds the GROUP: variation row ``i`` decodes from
+        the derived stream ``SeedSequence([seed, i])``, so a seeded UI run
+        reproduces all B variations (serve/app.py ``req.seed``).
         """
         if len(prompts) > self.batcher.n_slots:
             raise ValueError(
                 f"group of {len(prompts)} exceeds n_slots="
                 f"{self.batcher.n_slots}")
+        group_seed = submit_kw.pop("seed", None)
         gq: queue.Queue = queue.Queue()
         idx_of: Dict[int, int] = {}
         with self._lock:
             for i, p in enumerate(prompts):
-                rid = self.batcher.submit(p, max_events, **submit_kw)
+                kw = submit_kw
+                if group_seed is not None:
+                    kw = dict(submit_kw, seed=int(np.random.SeedSequence(
+                        [int(group_seed), i]).generate_state(1)[0]))
+                rid = self.batcher.submit(p, max_events, **kw)
                 idx_of[rid] = i
                 self._streams[rid] = gq
         self._wake.set()
