@@ -116,10 +116,17 @@ def alloc_pools(kv_heads: int, n_pages: int, page_size: int, head_dim: int,
     shape = (n_pages, page_size,
              shards * hkv_local * head_stride(head_dim, hkv_local))
     if quantized:
-        assert 2 * kv_heads <= LANE, "k+v scales must fit one 128-lane row"
+        assert 2 * hkv_local <= LANE, "k+v scales must fit one 128-lane row"
+        # one full 128-lane scale row PER SHARD: the lane axis then splits
+        # over the model axis into exactly the single-chip local layout
+        # (lanes [0:Hkv_local] k, [Hkv_local:2*Hkv_local] v), which is what
+        # every shard_map'd kernel/splice sees — int8 composes with tensor
+        # parallelism because per-token-per-head absmax quantization is
+        # head-independent (bit-identical values under any head split)
         return PagedPools(
             k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
-            scales=jnp.zeros((n_pages, page_size, LANE), jnp.bfloat16))
+            scales=jnp.zeros((n_pages, page_size, shards * LANE),
+                             jnp.bfloat16))
     return PagedPools(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 

@@ -220,33 +220,36 @@ def tp_shard_params(params, mesh: Mesh):
         is_leaf=lambda x: isinstance(x, P))
 
 
-def _tp_state_specs():
-    """bf16 pools lane-sharded over the model axis (int8 pools are not
-    supported under tp: the combined k+v scale rows interleave heads in one
-    128-lane row, which does not split on a head boundary)."""
+def _tp_state_specs(quantized: bool = False):
+    """Pools lane-sharded over the model axis.  int8 scale rows shard the
+    same way: the global pool holds one 128-lane row PER SHARD
+    (alloc_pools ``shards``), so each shard's local view is exactly the
+    single-chip layout (lanes [0:Hkv_local] k, [Hkv_local:2·Hkv_local] v)."""
     from ..ops.paged_allheads import PagedPools
     from ..parallel.mesh import MODEL_AXIS as M
 
-    pools = PagedPools(k=P(None, None, M), v=P(None, None, M), scales=None)
+    pools = PagedPools(k=P(None, None, M), v=P(None, None, M),
+                       scales=P(None, None, M) if quantized else None)
     return GenState(pools=pools, hidden=P(), cur_len=P(), all_eos=P())
 
 
 def prefill_tp(params, config: MIDIModelConfig, prompt: jax.Array,
-               max_seq: int, mesh: Mesh) -> GenState:
+               max_seq: int, mesh: Mesh, kv_int8: bool = False) -> GenState:
     """Tensor-parallel prefill: every shard runs the event net on its head/
     mlp slices (two psums per layer) and packs pools holding only its heads."""
     from ..parallel.mesh import MODEL_AXIS
 
     tp = mesh.shape[MODEL_AXIS]
     local = tp_local_config(config, tp)
-    specs = _tp_state_specs()
+    specs = _tp_state_specs(kv_int8)
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(tp_param_specs(), P()),
         out_specs=specs)
     def run(params, prompt):
-        return prefill(params, local, prompt, max_seq, tp_axis=MODEL_AXIS)
+        return prefill(params, local, prompt, max_seq, tp_axis=MODEL_AXIS,
+                       kv_int8=kv_int8)
 
     return run(params, prompt)
 
@@ -260,7 +263,7 @@ def decode_events_tp(params, config: MIDIModelConfig, state: GenState, masks,
 
     tp = mesh.shape[MODEL_AXIS]
     local = tp_local_config(config, tp)
-    specs = _tp_state_specs()
+    specs = _tp_state_specs(state.pools.quantized)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     @functools.partial(
@@ -280,9 +283,10 @@ def generate_tp(params, config: MIDIModelConfig, mesh: Mesh,
                 max_len: int = 512, temp: float = 1.0, top_p: float = 0.98,
                 top_k: int = 20, seed: int = 0, greedy: bool = False,
                 chunk_size: Optional[int] = None,
-                context_limit: int = 4096) -> np.ndarray:
+                context_limit: int = 4096, kv_int8: bool = False) -> np.ndarray:
     """Host-facing tensor-parallel generation (params already placed by
-    :func:`tp_shard_params`; batch replicated, pools lane-sharded)."""
+    :func:`tp_shard_params`; batch replicated, pools lane-sharded; int8
+    pools compose — per-shard scale rows, see :func:`_tp_state_specs`)."""
     tokenizer = config.tokenizer
     prompt = normalize_prompt(tokenizer, prompt, batch_size)
     head = prompt[:, : max(0, prompt.shape[1] - context_limit)]
@@ -293,7 +297,8 @@ def generate_tp(params, config: MIDIModelConfig, mesh: Mesh,
     masks = _mask_arrays(build_mask_table(tokenizer))
     remaining = max_len - p_len
     chunk = chunk_size or remaining
-    state = prefill_tp(params, config, jnp.asarray(prompt), max_len, mesh)
+    state = prefill_tp(params, config, jnp.asarray(prompt), max_len, mesh,
+                       kv_int8=kv_int8)
     key = jax.random.PRNGKey(seed)
     pieces = [head, prompt] if head.shape[1] else [prompt]
     produced = 0

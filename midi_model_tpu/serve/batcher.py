@@ -276,7 +276,7 @@ def _pool_specs(quantized: bool, tp: bool = False):
 
     m = MODEL_AXIS if tp else None
     return PagedPools(k=P(DATA_AXIS, None, m), v=P(DATA_AXIS, None, m),
-                      scales=P(DATA_AXIS) if quantized else None)
+                      scales=P(DATA_AXIS, None, m) if quantized else None)
 
 
 def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
@@ -388,10 +388,10 @@ class ContinuousBatcher:
         axis of size > 1 additionally shards the event net Megatron-style
         (heads/mlp column- and row-parallel, pools lane-sharded, two psums
         per layer) — the tv2o-large bf16 capacity answer at high slot
-        counts without int8 (which the model axis does not support: the
-        combined k+v scale rows interleave heads in one 128-lane row).
-        The host-side API (submit/step/run_all) is unchanged; ``n_slots``
-        must divide by the data-axis size."""
+        counts; ``kv_int8`` composes with it (each shard carries its own
+        128-lane scale row — alloc_pools ``shards``) for maximum contexts
+        per HBM byte.  The host-side API (submit/step/run_all) is
+        unchanged; ``n_slots`` must divide by the data-axis size."""
         import os
 
         from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -402,12 +402,6 @@ class ContinuousBatcher:
         if n_slots % dp:
             raise ValueError(f"n_slots={n_slots} not divisible by the mesh's "
                              f"data axis size {dp}")
-        if tp > 1 and kv_int8:
-            raise ValueError(
-                "kv_int8 pools cannot shard over the model axis: the "
-                "combined k+v scale rows interleave heads within one "
-                "128-lane row (sampling/sharded._tp_state_specs); use bf16 "
-                "pools under tensor parallelism")
         self.tp = tp
         local_slots = n_slots // dp
         if (local_slots == 64 and jax.default_backend() == "tpu"

@@ -75,8 +75,20 @@ def test_dp_tp_composed_matches_single_device_greedy(setup):
         np.testing.assert_array_equal(ref[rid].rows, got[rid].rows)
 
 
-def test_tp_rejects_int8_pools(setup):
+def test_tp_int8_matches_single_device_int8_greedy(setup):
+    """kv_int8 composes with the model axis: each shard carries its own
+    128-lane scale row (ops/paged_allheads.alloc_pools ``shards``), and
+    per-token-per-head absmax quantization is head-independent — so the
+    tp2 int8 batcher is bit-identical to the single-chip int8 batcher."""
     cfg, params = setup
+    tok = cfg.tokenizer
     mesh = make_mesh(jax.devices()[:2], dp=1, tp=2)
-    with pytest.raises(ValueError, match="model axis"):
-        ContinuousBatcher(params, cfg, n_slots=2, mesh=mesh, kv_int8=True)
+    prompts = [bos_prompt(tok), bos_prompt(tok, 2), bos_prompt(tok, 1)]
+    budgets = [5, 7, 4]
+    kw = dict(n_slots=2, max_seq=64, chunk=3, greedy=True, kv_int8=True)
+    ref = _run(ContinuousBatcher(params, cfg, **kw), prompts, budgets)
+    got = _run(ContinuousBatcher(params, cfg, mesh=mesh, **kw),
+               prompts, budgets)
+    for rid in ref:
+        assert ref[rid].reason == got[rid].reason
+        np.testing.assert_array_equal(ref[rid].rows, got[rid].rows)

@@ -114,6 +114,27 @@ def test_generate_tp_matches_single_chip():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_generate_tp_int8_matches_single_chip_int8():
+    """int8 pools under the model axis: per-shard 128-lane scale rows keep
+    each shard's local layout identical to single-chip, and per-head absmax
+    quantization is head-independent — greedy decode is bit-identical to
+    the single-chip kv_int8 run."""
+    from midi_model_tpu.sampling.generate import generate
+    from midi_model_tpu.sampling.sharded import generate_tp, tp_shard_params
+
+    config = MIDIModelConfig.get_config("v2", True, n_layer=4, n_head=8,
+                                        n_embd=256, n_inner=256)
+    params = midinet.init_params(jax.random.PRNGKey(0), config)
+    ref = generate(params, config, batch_size=2, max_len=10, greedy=True,
+                   kv_int8=True)
+
+    mesh = make_mesh(jax.devices()[:2], dp=1, tp=2)
+    sharded = tp_shard_params(params, mesh)
+    out = generate_tp(sharded, config, mesh, batch_size=2, max_len=10,
+                      greedy=True, kv_int8=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_tp_local_config_validation():
     from midi_model_tpu.sampling.sharded import tp_local_config
 

@@ -84,12 +84,15 @@ def main():
     emb = emb_only(prompt)
 
     # --- plain forward (no cache, no writes) ---
+    # params must be ARGUMENTS: closed-over weights become HLO constants
+    # and the ~410 MB program body blows the tunnel's remote-compile
+    # request limit (HTTP 413)
     @jax.jit
-    def fwd(emb):
+    def fwd(params, emb):
         h, _ = llama.forward(params["net"], net, emb)
         return h
 
-    timeit(fwd, emb, label="fwd (no pool writes)")
+    timeit(fwd, params, emb, label="fwd (no pool writes)")
 
     # --- prefill_paged (fwd + packed page writes) ---
     from midi_model_tpu.ops.paged_allheads import alloc_pools
@@ -99,19 +102,19 @@ def main():
     l_n, hkv, dh = net.num_layers, net.kv_heads, net.head_dim
 
     @jax.jit
-    def paged(emb):
+    def paged(params, emb):
         pools = alloc_pools(hkv, l_n * bs * pps, ps, dh, jnp.bfloat16)
         h, pools = llama.prefill_paged(params["net"], net, emb, pools,
                                        page_size=ps, pages_per_slot=pps)
         return h
 
-    timeit(paged, emb, label="prefill_paged (fwd + writes)")
+    timeit(paged, params, emb, label="prefill_paged (fwd + writes)")
 
     # --- full prefill ---
-    def full(prompt):
+    def full(params, prompt):
         return gen.prefill(params, config, prompt, p_len + 1)
 
-    timeit(full, prompt, label="full sampling.prefill")
+    timeit(full, params, prompt, label="full sampling.prefill")
 
 
 if __name__ == "__main__":
