@@ -60,6 +60,28 @@ def main():
         rates.append(n_done * BATCH / dt)
     best = max(rates)
     median = float(np.median(rates))
+
+    # Long-prompt prefill (regression guard — round 3 shipped this at 5.0 s;
+    # the tuned splash attention brought it to ~0.45 s).  bs=32 x 2048-event
+    # prompts, full sampling.prefill (embed + flash forward + packed page
+    # writes into the pools), median of 3.
+    p_len = 2048
+    rng = np.random.default_rng(0)
+    long_prompt = jnp.asarray(
+        rng.integers(3, tokenizer.vocab_size, (BATCH, p_len, 8)), jnp.int32)
+
+    def run_prefill():
+        state = prefill(params, config, long_prompt, p_len + 1)
+        jax.block_until_ready(state.pools.k)
+
+    run_prefill()  # compile
+    pf_times = []
+    for _ in range(3):
+        t0 = time.time()
+        run_prefill()
+        pf_times.append(time.time() - t0)
+    pf_ms = float(np.median(pf_times)) * 1e3
+
     print(json.dumps({
         "metric": "tv2o-medium batched generation (bs=32, 1024 events, top-p/k)",
         "value": round(best, 2),  # best-of-4 (comparable to prior rounds)
@@ -67,6 +89,7 @@ def main():
         "runs": [round(r, 2) for r in rates],
         "unit": "events/sec",
         "vs_baseline": round(best / REFERENCE_EVENTS_PER_SEC, 2),
+        "prefill_bs32_p2048_ms": round(pf_ms, 1),
     }))
 
 

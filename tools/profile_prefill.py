@@ -25,7 +25,9 @@ import numpy as np
 
 from midi_model_tpu.models import MIDIModelConfig, midinet
 from midi_model_tpu.models import llama
-from midi_model_tpu.sampling import generate as gen
+import importlib
+
+gen = importlib.import_module("midi_model_tpu.sampling.generate")
 
 
 def _sync(out):
