@@ -233,13 +233,18 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
     (the split path measures ~44% of HBM peak on the matmul stream alone).
     """
     b = state.hidden.shape[0]
-    # token-row kernel next to the fused whole-step kernel: their explicit
-    # scoped-vmem limits can SUM in XLA's accounting (a compiler quirk —
-    # "should not be possible ... please file a bug"); at 24 layers
-    # (tv2o-large) the sum exceeds the 128 MB pool and the remote compiler
-    # rejects the program (tools/repro_large_compile.py stage 4).  The
-    # 12-layer geometry is measured-safe; larger nets take the XLA scan
-    # (the fused event net matters ~4x more at 24 layers anyway).
+    # The token-row kernel next to the fused whole-step kernel: at <=16
+    # layers the pair co-compiles (since round 4 at ANY scan length — XLA's
+    # custom-fusion cloning drops the token kernel's explicit vmem limit at
+    # long scans and the program default rejects it; _decode_events_jitted
+    # compiles with the default raised, utils/xla_opts.py).  At 24 layers
+    # (tv2o-large) the conflict is REAL, not an accounting bug: the cloned
+    # token-kernel fusion demands 108.94 MB of scoped VMEM and only 96.43 MB
+    # remains next to the 24-layer fused kernel's reservation ("Scoped
+    # allocation with size 108.94M and limit 96.43M", 2026-08-19,
+    # tools/probe_both_kernels_real.py large) — no default raise can create
+    # VMEM, so large keeps the XLA token scan with the fused event net
+    # (which matters ~4x more at 24 layers).
     kernel_ok = b <= 64 and (fused is None or config.net.num_layers <= 16)
     row, ended = decode_token_row_any(params, config, state.hidden, masks,
                                       temp, top_p, top_k, key, greedy,
@@ -271,13 +276,9 @@ def _decode_one_event(params, config: MIDIModelConfig, state: GenState,
                           all_eos=jnp.all(ended)), row
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("config", "n_events_chunk", "greedy",
-                                    "tp_axis"),
-                   donate_argnums=(2,))
-def decode_events(params, config: MIDIModelConfig, state: GenState, masks,
-                  n_events_chunk: int, temp, top_p, top_k, key,
-                  greedy: bool = False, tp_axis: str = None):
+def _decode_events_impl(params, config: MIDIModelConfig, state: GenState,
+                        masks, n_events_chunk: int, temp, top_p, top_k, key,
+                        greedy: bool = False, tp_axis: str = None):
     """Decode up to ``n_events_chunk`` rows in one device dispatch.
 
     Stops early (masked no-op iterations) once every batch row emitted eos in
@@ -316,6 +317,30 @@ def decode_events(params, config: MIDIModelConfig, state: GenState, masks,
 
     state, rows, n_done = jax.lax.while_loop(cond, body, (state, rows0, 0))
     return state, rows, n_done
+
+
+@functools.lru_cache(maxsize=1)
+def _decode_events_jitted():
+    """Lazily jitted ``_decode_events_impl`` with the TPU scoped-VMEM raise
+    (utils/xla_opts.py): at 24 layers XLA's custom-fusion cloning drops the
+    token-row kernel's explicit vmem limit and the 16 MB program default
+    rejects the program.  Created per-backend at first call — other
+    backends reject the TPU-specific compile option."""
+    from ..utils.xla_opts import decode_step_compiler_options
+
+    return jax.jit(_decode_events_impl,
+                   static_argnames=("config", "n_events_chunk", "greedy",
+                                    "tp_axis"),
+                   donate_argnums=(2,),
+                   compiler_options=decode_step_compiler_options())
+
+
+def decode_events(params, config, state, masks, n_events_chunk, temp, top_p,
+                  top_k, key, greedy: bool = False, tp_axis: str = None):
+    """See :func:`_decode_events_impl` — jit-dispatched wrapper."""
+    return _decode_events_jitted()(params, config, state, masks,
+                                   n_events_chunk, temp, top_p, top_k, key,
+                                   greedy=greedy, tp_axis=tp_axis)
 
 
 def normalize_prompt(tokenizer, prompt: Optional[np.ndarray], batch_size: int,

@@ -81,8 +81,12 @@ def decode_events_dp(params, config: MIDIModelConfig, state: GenState, masks,
     """
     quantized = state.pools.quantized
     specs = _state_specs(quantized)
+    from ..utils.xla_opts import decode_step_compiler_options
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    # the nested decode_events jit inlines, so its scoped-vmem raise
+    # (utils/xla_opts.py) must ride on THIS program's compile
+    @functools.partial(jax.jit, donate_argnums=(1,),
+                       compiler_options=decode_step_compiler_options())
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), specs, (P(), P(), P()), P()),
@@ -264,8 +268,11 @@ def decode_events_tp(params, config: MIDIModelConfig, state: GenState, masks,
     tp = mesh.shape[MODEL_AXIS]
     local = tp_local_config(config, tp)
     specs = _tp_state_specs(state.pools.quantized)
+    from ..utils.xla_opts import decode_step_compiler_options
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    # nested decode_events inlines — carry the scoped-vmem raise here too
+    @functools.partial(jax.jit, donate_argnums=(1,),
+                       compiler_options=decode_step_compiler_options())
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(tp_param_specs(), specs, (P(), P(), P()), P()),

@@ -30,14 +30,11 @@ fused token-row kernel + Pallas sampler, chunk=32, full occupancy;
 tools/bench_batcher.py --steady, 2026-08-17): **9.1k events/sec at 32
 slots, 20.4k at 128** (round 2: 8.2k / 18.1k; the round-1 dense/blend
 design: 2.3k / 3.3k). ``kv_int8`` stores int8 pages + per-token scales:
-HALF the cache HBM (18.8k ev/s at 128 slots; 8.2k at 32 via the fused
-whole-step kernel + token scan) — the capacity option for many slots x
-long contexts (128 slots x 4096 events: 6.7 GB instead of 12.9 GB). At
-<=64 slots the int8 program's extra buffers tip the shared 128 MB
-scoped-vmem budget next to the fused token-row kernel's ~110 MB of
-VMEM-resident weights, so the batcher automatically drops the token row
-to the XLA scan there (and then routes the event net through the fused
-whole-step kernel — see __init__), never a compile failure.
+HALF the cache HBM — the capacity option for many slots x long contexts
+(128 slots x 4096 events: 6.7 GB instead of 12.9 GB); since the round-4
+scoped-vmem root-cause fix (utils/xla_opts.py) the fused token-row kernel
+stays on in EVERY configuration — int8 at 32 slots measures 8.4k ev/s
+(was 8.2k via the round-3 token-scan fallback).
 
 Sampling draws on TPU come from the Pallas Gumbel-argmax kernel: the same
 distribution as the XLA inverse-CDF sampler, but a different realized draw
@@ -262,10 +259,24 @@ def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
     return (pools, index, hidden), jnp.transpose(rows, (1, 0, 2))
 
 
-_step = functools.partial(jax.jit, donate_argnums=(2,),
-                          static_argnames=("config", "chunk", "greedy",
-                                           "page_size", "pages_per_slot",
-                                           "token_kernel_ok"))(_step_impl)
+@functools.lru_cache(maxsize=1)
+def _step_jitted():
+    """Lazily jitted ``_step_impl`` with the scoped-VMEM raise on TPU —
+    the serving chunk (32) is exactly the scan length at which XLA's
+    custom-fusion cloning drops the Pallas kernels' explicit vmem limits
+    (utils/xla_opts.py has the full story); off-TPU backends reject the
+    option, so the jit is created per-backend at first call."""
+    from ..utils.xla_opts import decode_step_compiler_options
+
+    return jax.jit(_step_impl, donate_argnums=(2,),
+                   static_argnames=("config", "chunk", "greedy",
+                                    "page_size", "pages_per_slot",
+                                    "token_kernel_ok"),
+                   compiler_options=decode_step_compiler_options())
+
+
+def _step(*args, **kwargs):
+    return _step_jitted()(*args, **kwargs)
 
 
 def _pool_specs(quantized: bool, tp: bool = False):
@@ -330,13 +341,16 @@ def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
                           pages_per_slot=pages_per_slot,
                           token_kernel_ok=token_kernel_ok, tp_axis=tp_axis)
 
+    from ..utils.xla_opts import decode_step_compiler_options
+
     step_dp = jax.jit(
         shard_map(step_local, mesh=mesh,
                   in_specs=(pspec, carry_spec, mask_spec, P(DATA_AXIS),
                             P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                             P(DATA_AXIS), P(DATA_AXIS), P()),
                   out_specs=(carry_spec, P(DATA_AXIS))),
-        donate_argnums=(1,))
+        donate_argnums=(1,),
+        compiler_options=decode_step_compiler_options())
 
     # prefill k/v come out holding only each model shard's heads
     pre_spec = P(None, None, None, MODEL_AXIS) if tp_on else P()
@@ -421,16 +435,14 @@ class ContinuousBatcher:
         self.n_slots = n_slots
         self.local_slots = local_slots
         self.page_size = page_size
-        # kv_int8 at <=64 slots per chip: the int8 program's extra buffers
-        # tip the shared 128 MB scoped-vmem budget when the fused token-row
-        # kernel (weights VMEM-resident, ~110 MB) co-compiles — degrade to
-        # the XLA token-row scan automatically instead of failing compilation.
-        # Same story for the whole-step kernel on >16-layer nets: its and
-        # the token-row kernel's explicit scoped-vmem limits SUM in XLA's
-        # accounting (tools/repro_large_compile.py) — token row takes the
-        # scan there.
-        self._token_kernel_ok = not (kv_int8 and local_slots <= 64) \
-            and config.net.num_layers <= 16
+        # Round 3 fenced the token-row kernel off for int8-at-<=64-slots and
+        # >16-layer nets after compile rejections that looked like the two
+        # decode kernels' scoped-vmem limits "summing".  Round 4 root-caused
+        # them: XLA's custom-fusion cloning DROPS a pallas_call's explicit
+        # vmem limit at long scan lengths and the 16 MB program default
+        # rejects it (utils/xla_opts.py) — _step_jitted() now compiles with
+        # the program default raised, and every combination co-compiles.
+        self._token_kernel_ok = True
         # whole 4-page kernel compute blocks (a non-multiple forces one-page
         # DMAs in the paged kernel — measured 1.5-1.7x slower)
         block = 4 * page_size
@@ -450,21 +462,18 @@ class ContinuousBatcher:
         self._pools = alloc_pools(
             net.kv_heads, n_pages, page_size, net.head_dim, dtype,
             quantized=kv_int8, shards=tp)
-        # whole-step event-net kernel (TPU/bf16/MHA): the per-layer weight
-        # concats are built ONCE here (they duplicate the event-net layer
-        # weights in HBM — ~0.4 GB for tv2o-medium — in exchange for the
-        # layer-grid double-buffered weight stream every decoded event).
-        # ONLY when the token row runs as the XLA scan: in this program
-        # shape the token-row kernel's explicit 112 MB scoped-vmem limit is
-        # not honored next to the whole-step kernel's reservation (the
-        # compiler reports the 16 MB default and rejects; the aligned
-        # decode_events program co-compiles the same pair fine), so the
-        # token-kernel configurations keep the split streaming path.
-        from ..ops import fused_step as _fs
-
-        self._fused = (_fs.prepare_fused(params["net"])
-                       if _fs.usable(params, config, self._pools)
-                       and not self._token_kernel_ok and tp == 1 else None)
+        # The whole-step event-net kernel stays OFF in the batcher even
+        # though the round-4 scoped-vmem root-cause fix (see _step_jitted)
+        # lets it co-compile with the token-row kernel: measured on the v5e
+        # (2026-08-19), fused+token is SLOWER than the split streaming path
+        # at 32 slots (8,400 vs 9,277 ev/s — the batcher's ragged per-slot
+        # lengths defeat the layer-grid weight stream's amortization) and
+        # identical at 128 slots (21.1k, cache-bandwidth-bound either way),
+        # while int8@128 slots hits a runtime FailedPrecondition with it on.
+        # Aligned decode_events keeps the fused kernel — equal-length rows
+        # are exactly the regime it wins in (13.9k vs 11.7k split).
+        # tools/probe_both_kernels_real.py re-measures the combination.
+        self._fused = None
         self._index = jnp.zeros((n_slots,), jnp.int32)
         self._hidden = jnp.zeros((n_slots, config.n_embd), dtype)
         self._prefill_tp = None

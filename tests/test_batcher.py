@@ -84,20 +84,21 @@ def test_slot_reuse_after_finish(setup):
     assert not batcher.any_active
 
 
-def test_kv_int8_small_slots_degrades_to_scan(setup):
-    """kv_int8 at <=64 slots must never be a compile failure: the batcher
-    drops the fused token-row kernel to the XLA scan automatically (VERDICT
-    round 2 #5) and still produces correct streams."""
+def test_kv_int8_small_slots_runs_token_kernel(setup):
+    """kv_int8 at <=64 slots must never be a compile failure.  Round 2
+    fenced the token-row kernel off here after scoped-vmem compile
+    rejections; round 4 root-caused those to XLA's custom-fusion cloning
+    dropping the kernel's explicit vmem limit (utils/xla_opts.py) and the
+    step program now compiles with the scoped default raised — the kernel
+    stays on in every configuration and the streams stay correct."""
     cfg, params = setup
     tok = cfg.tokenizer
     batcher = ContinuousBatcher(params, cfg, n_slots=32, max_seq=64, chunk=2,
                                 greedy=True, kv_int8=True)
-    assert not batcher._token_kernel_ok
-    # above the vmem cliff the kernel stays on
+    assert batcher._token_kernel_ok
     big = ContinuousBatcher(params, cfg, n_slots=96, max_seq=64, chunk=2,
                             kv_int8=True)
     assert big._token_kernel_ok
-    # bf16 pools keep the kernel at any slot count
     bf16 = ContinuousBatcher(params, cfg, n_slots=32, max_seq=64, chunk=2)
     assert bf16._token_kernel_ok
 

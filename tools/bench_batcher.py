@@ -22,8 +22,8 @@ from midi_model_tpu.models import MIDIModelConfig, midinet
 from midi_model_tpu.serve.batcher import ContinuousBatcher
 
 
-def _setup(n_slots, max_seq, chunk, kv_int8):
-    config = MIDIModelConfig.from_name("tv2o-medium")
+def _setup(n_slots, max_seq, chunk, kv_int8, model="tv2o-medium"):
+    config = MIDIModelConfig.from_name(model)
     tok = config.tokenizer
     params = midinet.init_params(jax.random.PRNGKey(0), config,
                                  dtype=jnp.bfloat16)
@@ -36,8 +36,8 @@ def _setup(n_slots, max_seq, chunk, kv_int8):
 
 
 def main(n_slots=128, max_seq=512, budget=128, n_requests=160,
-         kv_int8=False, chunk=32):
-    batcher, prompt = _setup(n_slots, max_seq, chunk, kv_int8)
+         kv_int8=False, chunk=32, model="tv2o-medium"):
+    batcher, prompt = _setup(n_slots, max_seq, chunk, kv_int8, model)
     for _ in range(n_slots):
         batcher.submit(prompt, max_events=budget)
     batcher.step()  # compile + first chunk
@@ -57,8 +57,9 @@ def main(n_slots=128, max_seq=512, budget=128, n_requests=160,
           f"-> {total_rows/dt:,.0f} events/sec", flush=True)
 
 
-def steady(n_slots=128, max_seq=512, kv_int8=False, chunk=32):
-    batcher, prompt = _setup(n_slots, max_seq, chunk, kv_int8)
+def steady(n_slots=128, max_seq=512, kv_int8=False, chunk=32,
+           model="tv2o-medium"):
+    batcher, prompt = _setup(n_slots, max_seq, chunk, kv_int8, model)
     for _ in range(n_slots):
         batcher.submit(prompt, max_events=10**9)  # never retire
     batcher.step()  # compile
@@ -68,7 +69,8 @@ def steady(n_slots=128, max_seq=512, kv_int8=False, chunk=32):
         batcher.step()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    print(f"steady slots={n_slots} chunk={chunk}{' int8' if kv_int8 else ''}: "
+    print(f"steady model={model} slots={n_slots} chunk={chunk}"
+          f"{' int8' if kv_int8 else ''}: "
           f"{best*1e3:.1f} ms/step -> {n_slots*chunk/best:,.0f} events/sec",
           flush=True)
 
@@ -78,7 +80,9 @@ if __name__ == "__main__":
     kv_int8 = "--int8" in args
     slots = next((int(a.split("=")[1]) for a in args
                   if a.startswith("--slots=")), 128)
+    model = next((a.split("=")[1] for a in args
+                  if a.startswith("--model=")), "tv2o-medium")
     if "--steady" in args:
-        steady(n_slots=slots, kv_int8=kv_int8)
+        steady(n_slots=slots, kv_int8=kv_int8, model=model)
     else:
-        main(n_slots=slots, kv_int8=kv_int8)
+        main(n_slots=slots, kv_int8=kv_int8, model=model)

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 def try_compile(tag):
     from midi_model_tpu.models import MIDIModelConfig, midinet
     from midi_model_tpu.sampling import build_mask_table, prefill
-    from midi_model_tpu.sampling.generate import (_mask_arrays, decode_events,
+    from midi_model_tpu.sampling.generate import (_decode_events_jitted,
+                                                  _mask_arrays,
                                                   normalize_prompt)
 
     config = MIDIModelConfig.from_name("tv2o-medium")
@@ -34,8 +35,8 @@ def try_compile(tag):
     key = jax.random.PRNGKey(42)
     t0 = time.time()
     try:
-        decode_events.lower(params, config, state, masks, 1024, 1.0, 0.98,
-                            20, key).compile()
+        _decode_events_jitted().lower(params, config, state, masks, 1024,
+                                      1.0, 0.98, 20, key).compile()
         print(f"[{tag}] OK ({time.time() - t0:.0f}s)", flush=True)
         return True
     except Exception as e:  # noqa: BLE001

@@ -4,15 +4,21 @@ Observed (round 2, this container's axon-tunneled v5e): compiling the
 continuous batcher's ``_step`` program with ``n_slots=64`` crashes the remote
 compiler service (the call never returns / the backend dies); the identical
 program at 32, 96 or 128 slots compiles and runs.  ``ContinuousBatcher``
-fences n_slots=64 at construction and points here.
+fences n_slots=64 at construction and points here
+(tests/test_batcher.py covers the fence via a backend monkeypatch).
 
-Run me on the TPU to (re)confirm:
+Round-4 narrowing: run the program's pieces one at a time at 64 slots to
+find the smallest failing Mosaic program:
 
-    python tools/repro_64slot_crash.py            # 64 slots: expect a crash
-    python tools/repro_64slot_crash.py --slots 96 # control: expect ok
+    python tools/repro_64slot_crash.py --component token   # token-row kernel
+    python tools/repro_64slot_crash.py --component paged   # streaming paged
+    python tools/repro_64slot_crash.py --component event   # split event step
+    python tools/repro_64slot_crash.py --component step    # scan body, chunk=1
+    python tools/repro_64slot_crash.py                     # full batcher step
+    python tools/repro_64slot_crash.py --slots 96          # control: expect ok
 
-If this script ever prints "ok" at 64 slots, the toolchain fixed it — delete
-the fence in serve/batcher.py (and this script).
+If the full step ever prints "ok" at 64 slots, the toolchain fixed it —
+delete the fence in serve/batcher.py (and this script).
 """
 
 import os
@@ -22,18 +28,105 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 os.environ["MIDI_TPU_ALLOW_64_SLOTS"] = "1"
 
+PS = 64
+PPS = 16  # 1024-event capacity, matching the full-batcher repro
 
-def main():
+
+def _setup(slots):
+    import jax
+    import jax.numpy as jnp
+
+    from midi_model_tpu.models import MIDIModelConfig, midinet
+    from midi_model_tpu.ops.paged_allheads import alloc_pools
+
+    config = MIDIModelConfig.from_name("tv2o-medium")
+    params = midinet.init_params(jax.random.PRNGKey(0), config,
+                                 dtype=jnp.bfloat16)
+    net = config.net
+    pools = alloc_pools(net.kv_heads, net.num_layers * slots * PPS, PS,
+                        net.head_dim, jnp.bfloat16)
+    return config, params, net, pools
+
+
+def run_component(component, slots):
+    import jax
+    import jax.numpy as jnp
+
+    from midi_model_tpu.models import MIDIModelConfig, midinet
+    from midi_model_tpu.models import llama
+    from midi_model_tpu.sampling import build_mask_table
+    from midi_model_tpu.sampling.generate import _mask_arrays
+
+    config, params, net, pools = _setup(slots)
+    b = slots
+    hidden = jnp.zeros((b, config.n_embd), jnp.bfloat16)
+    index = jnp.full((b,), 100, jnp.int32)
+    print(f"compiling component={component} at {slots} slots ...", flush=True)
+
+    if component == "token":
+        from midi_model_tpu.ops import token_loop
+
+        masks = _mask_arrays(build_mask_table(config.tokenizer,
+                                              disable_eos=True))
+
+        def f(params, hidden):
+            return token_loop.decode_token_row(
+                params, config, hidden, masks, 1.0, 0.98, 20,
+                jax.random.PRNGKey(0))
+
+        row, _ = jax.jit(f)(params, hidden)
+        print("ok", int(row.sum()), flush=True)
+    elif component == "paged":
+        from midi_model_tpu.ops.paged_allheads import paged_attention_stats
+
+        q = jnp.zeros((b, net.num_heads, net.head_dim), jnp.bfloat16)
+        w = net.kv_heads * net.head_dim
+        write = (jnp.zeros((b, w), jnp.bfloat16),
+                 jnp.zeros((b, w), jnp.bfloat16), None,
+                 index // PS, index % PS)
+
+        def f(q, pools):
+            return paged_attention_stats(
+                q, pools, index, jnp.arange(b, dtype=jnp.int32) * PPS,
+                write, page_size=PS, pages_per_slot=PPS,
+                kv_heads=net.kv_heads, head_dim=net.head_dim,
+                streaming=True)
+
+        o = jax.jit(f)(q, pools)[0]
+        print("ok", float(o.astype(jnp.float32).sum()), flush=True)
+    elif component == "event":
+        def f(params, hidden, pools):
+            return llama.decode_paged(
+                params["net"], net, hidden, pools, index,
+                jnp.ones((b,), bool), page_size=PS, pages_per_slot=PPS)
+
+        h, _ = jax.jit(f)(params, hidden, pools)
+        print("ok", float(h.astype(jnp.float32).sum()), flush=True)
+    elif component == "step":
+        from midi_model_tpu.serve import batcher as bt
+        import functools
+
+        masks = _mask_arrays(build_mask_table(config.tokenizer,
+                                              disable_eos=True))
+        seed = jnp.zeros((b,), jnp.uint32)
+        carry = (pools, index, hidden)
+        f = functools.partial(bt._step_impl, chunk=1, page_size=PS,
+                              pages_per_slot=PPS, token_kernel_ok=True)
+        carry, rows = jax.jit(
+            f, donate_argnums=(2,), static_argnames=("config", "greedy"),
+        )(params, config, carry, masks, jnp.ones((b,), bool),
+          1.0, 0.98, 20, seed, greedy=False)
+        print("ok", int(rows.sum()), flush=True)
+    else:
+        raise SystemExit(f"unknown component {component}")
+
+
+def run_full(slots):
     import jax
     import jax.numpy as jnp
 
     from midi_model_tpu.models import MIDIModelConfig, midinet
     from midi_model_tpu.serve.batcher import ContinuousBatcher
-
-    slots = 64
-    for i, a in enumerate(sys.argv):
-        if a == "--slots":
-            slots = int(sys.argv[i + 1])
 
     config = MIDIModelConfig.from_name("tv2o-medium")
     params = midinet.init_params(jax.random.PRNGKey(0), config,
@@ -46,6 +139,19 @@ def main():
     print(f"compiling/stepping the {slots}-slot program ...", flush=True)
     batcher.step()  # <- at 64 slots the remote compiler crashes here
     print("ok", flush=True)
+
+
+def main():
+    slots, component = 64, None
+    for i, a in enumerate(sys.argv):
+        if a == "--slots":
+            slots = int(sys.argv[i + 1])
+        elif a == "--component":
+            component = sys.argv[i + 1]
+    if component:
+        run_component(component, slots)
+    else:
+        run_full(slots)
 
 
 if __name__ == "__main__":
