@@ -1,0 +1,705 @@
+"""Whole-event decode loop kernel: E events — token rows AND event net —
+in ONE dispatch.
+
+Round 3 fused each half of the decode step into its own kernel: the
+whole-step event net (ops/fused_step.py, all layers one dispatch) and the
+token row (ops/token_loop.py, 8 sampling steps one dispatch).  Two dispatch
+boundaries per event remained, and the length sweep
+(tools/probe_fused_sweep.py) attributed ~0.46 ms/event of fixed cost to
+them: each ``pallas_call`` re-stages the token net's ~56 MB of VMEM-input
+weights from HBM, the XLA glue between the kernels (event-embedding gather,
+row scatter, while-loop bookkeeping) runs at tiny shapes, and the HBM
+pipeline drains at every kernel edge — during the ~0.3 ms token phase the
+weight stream sits idle.
+
+This kernel runs ``grid=(E, L+1)``: phase 0 of event ``e`` is the token row
+(8 autoregressive token-net steps + grammar masks + top-p/top-k Gumbel
+sampling, token_loop.py semantics), phases 1..L are the event-net layers
+(fused_step.py semantics: rmsnorm → qkv → RoPE → paged flash attention with
+the fresh row's self-term merged analytically and the row RMW-appended
+in-kernel → o-proj → SwiGLU).  What the merge buys:
+
+- the token-net weights are plain VMEM inputs, fetched ONCE per dispatch
+  and reused by all E events (~56 MB/event of HBM traffic deleted);
+- the event-net weights stream through a manual R-slot DMA rotation of
+  uniform ``[D, D]`` chunks (q, k, v, o, then the MLP matrices split into
+  D-column/row chunks).  A consumed chunk immediately re-issues its slot
+  for the chunk R ahead, so the stream crosses layer, phase, and EVENT
+  boundaries without draining — layer-0 chunks of event ``e+1`` stream
+  while event ``e``'s token row computes.  The rotation also replaces the
+  2x-per-layer-weights BlockSpec double-buffer (~67 MB) with R chunk slots
+  (~16 MB), which is what lets the token net's weights co-reside;
+- the sampled row feeds the event net in-kernel: the event embedding
+  (midinet.embed_events: gather + sum over the row) accumulates as one-hot
+  MXU matmuls against the event embed table while the tokens are sampled —
+  no XLA round-trip between the halves;
+- per-event cache geometry (uniform lengths: ``len0 + e``) is scalar
+  arithmetic in-kernel — the per-event host tables of the split path are
+  gone.
+
+Numerics: identical contractions to the two round-3 kernels everywhere
+except (a) the event-embedding sum (f32 accumulate + one round vs XLA's
+reduce over the gathered bf16 rows) and (b) the MLP down-projection,
+accumulated f32 across D-row chunks in chunk order (the MXU accumulates a
+whole [F, D] contraction over sublane blocks in the same order; interpret
+mode differs at f32 epsilon).  Both are below sampling-relevant magnitude;
+greedy streams are asserted identical to the split path in
+tests/test_event_loop.py.
+
+Restrictions (the tv2o family satisfies all): MHA, bf16 weights and pools,
+``num_heads * head_dim == hidden`` (uniform chunk shapes), batch <= 64.
+
+Reference capability: the torch generate loop (/root/reference/
+midi_model.py:167-250) — one Python iteration per TOKEN there; one kernel
+dispatch per E*(1+8) sampled tokens here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .paged_allheads import RMW_ROWS, PagedPools, head_stride
+from .token_loop import K_CAP, _mm, _rms_norm, _rope, _sample
+
+LANE = 128
+_SLACK_BYTES = 8 << 20  # Mosaic compiler temporaries
+
+
+def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
+        *args,
+        batch: int, num_heads: int, head_dim: int, hidden: int, nf: int,
+        page_size: int, ppcb: int, pages_per_slot: int, n_layers: int,
+        eps: float, exact_tail: bool, n_rot: int,
+        t_layers: int, t_heads: int, t_head_dim: int, t_max: int,
+        n_events: int, t_eps: float, eos_id: int, greedy: bool):
+    (len0_ref, maxk_ref) = args[:2]
+    ins = args[2:2 + 28]
+    (hid0_ref, chunks_ref, ln_ref, fnorm_ref, cos_e_ref, sin_e_ref,
+     temp_ref, topp_ref, topk_ref,
+     wq_t, wk_t, wv_t, wo_t, wg_t, wu_t, wd_t, lna_t, lnm_t, fnorm_t,
+     lm_ref, embt_ref, embn_ref, first_ref, steps_ref, pad_ref,
+     cos_t_ref, sin_t_ref, gum_ref) = ins
+    k_pool_ref, v_pool_ref = args[2 + 28], args[2 + 29]
+    (rows_ref, xout_ref,
+     k_out_ref, v_out_ref,
+     xs_ref, g_ref, wbuf, wsems, kbuf, vbuf, csems,
+     kwbuf, vwbuf, rmwsem, accs_ref, ms_ref, ls_ref, work_ref) = args[2 + 30:]
+
+    b, d, w = batch, hidden, num_heads * head_dim
+    e_i = pl.program_id(0)
+    p_i = pl.program_id(1)
+    n_e = pl.num_programs(0)
+    dtype = lm_ref.dtype
+    scale = head_dim ** -0.5
+    bk = ppcb * page_size
+    cpl = 4 + 3 * nf                # chunks per layer: q k v o + 3*nf MLP
+    n_chunks = n_e * n_layers * cpl
+
+    # ---- weight-chunk rotation ------------------------------------------
+    def issue(c):
+        @pl.when(c < n_chunks)
+        def _():
+            src = jax.lax.rem(c, n_layers * cpl)
+            slot = jax.lax.rem(c, n_rot)
+            pltpu.make_async_copy(chunks_ref.at[src], wbuf.at[slot],
+                                  wsems.at[slot]).start()
+
+    def wait(c):
+        slot = jax.lax.rem(c, n_rot)
+        pltpu.make_async_copy(chunks_ref.at[0], wbuf.at[slot],
+                              wsems.at[slot]).wait()
+        return slot
+
+    def consume(c):
+        """Wait for chunk ``c``, hand its buffer out, refill the slot with
+        the chunk ``n_rot`` ahead (same slot by construction)."""
+        slot = wait(c)
+        return slot
+
+    # ======================================================================
+    # phase 0: token row (token_loop.py semantics) + in-kernel event embed
+    # ======================================================================
+    @pl.when(p_i == 0)
+    def _token_phase():
+        # first dispatch step primes the whole rotation
+        @pl.when(e_i == 0)
+        def _():
+            for c0 in range(n_rot):
+                issue(c0)
+
+        v_voc = lm_ref.shape[-1]
+        temp = temp_ref[...]
+        top_p = topp_ref[...]
+        top_k = topk_ref[...]
+        max_k = maxk_ref[0]
+        first_event_id = eos_id + 1
+
+        # event e>0 reads the residual left by event e-1's layers
+        normed = _rms_norm(xs_ref[...], fnorm_ref[...], eps)
+        x = jnp.where(e_i == 0, hid0_ref[...], normed).astype(dtype)
+
+        lane_v = jax.lax.broadcasted_iota(jnp.int32, (b, v_voc), 1)
+        lane_e = jax.lax.broadcasted_iota(jnp.int32, (b, n_events), 1)
+        ended = jnp.zeros((b, 1), bool)
+        e_onehot = jnp.zeros((b, n_events), jnp.float32)
+        ks = [[] for _ in range(t_layers)]
+        vs = [[] for _ in range(t_layers)]
+        ev_acc = jnp.zeros((b, d), jnp.float32)  # event-embedding accumulator
+
+        for j in range(t_max):
+            cos_j = cos_t_ref[j:j + 1, :]
+            sin_j = sin_t_ref[j:j + 1, :]
+            for li in range(t_layers):
+                h = _rms_norm(x, lna_t[li:li + 1, :], t_eps)
+                q = _mm(h, wq_t[li])
+                k = _mm(h, wk_t[li])
+                vv = _mm(h, wv_t[li])
+                k_heads = [
+                    _rope(k[:, hk * t_head_dim:(hk + 1) * t_head_dim],
+                          cos_j, sin_j)
+                    for hk in range(t_heads)
+                ]
+                ks[li].append(jnp.concatenate(k_heads, axis=-1)
+                              if t_heads > 1 else k_heads[0])
+                vs[li].append(vv)
+                outs = []
+                t_scale = t_head_dim ** -0.5
+                for hq in range(t_heads):
+                    sl = slice(hq * t_head_dim, (hq + 1) * t_head_dim)
+                    qh = _rope(q[:, sl], cos_j, sin_j).astype(jnp.float32)
+                    scores = [
+                        jnp.sum(qh * ks[li][t][:, sl].astype(jnp.float32),
+                                axis=-1, keepdims=True) * t_scale
+                        for t in range(j + 1)
+                    ]
+                    s = jnp.concatenate(scores, axis=-1) if j else scores[0]
+                    m = jnp.max(s, axis=-1, keepdims=True)
+                    ex = jnp.exp(s - m)
+                    p = (ex / jnp.sum(ex, axis=-1, keepdims=True)
+                         ).astype(dtype)
+                    o = jnp.zeros((b, t_head_dim), jnp.float32)
+                    for t in range(j + 1):
+                        o = o + (p[:, t:t + 1].astype(jnp.float32)
+                                 * vs[li][t][:, sl].astype(jnp.float32))
+                    outs.append(o.astype(dtype))
+                attn = (jnp.concatenate(outs, axis=-1) if t_heads > 1
+                        else outs[0])
+                x = x + _mm(attn, wo_t[li])
+                hm = _rms_norm(x, lnm_t[li:li + 1, :], t_eps)
+                gf = _mm(hm, wg_t[li]).astype(jnp.float32)
+                gated = (gf * jax.nn.sigmoid(gf)).astype(dtype) \
+                    * _mm(hm, wu_t[li])
+                x = x + _mm(gated, wd_t[li])
+
+            hf = _rms_norm(x, fnorm_t[...], t_eps)
+            logits = _mm(hf, lm_ref[...]).astype(jnp.float32)
+            lmax = jnp.max(logits / temp, axis=-1, keepdims=True)
+            eexp = jnp.exp(logits / temp - lmax)
+            probs = eexp / jnp.sum(eexp, axis=-1, keepdims=True)
+
+            if j == 0:
+                mask = jnp.broadcast_to(first_ref[...], (b, v_voc))
+            else:
+                step_tbl = steps_ref[j * n_events:(j + 1) * n_events, :]
+                mask = jnp.dot(e_onehot.astype(jnp.bfloat16),
+                               step_tbl.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+            if j > 0:
+                pad_mask = jnp.broadcast_to(pad_ref[...], (b, v_voc))
+                mask = jnp.where(ended, pad_mask, mask)
+            probs = probs * mask
+
+            g_step = gum_ref[0, j * b:(j + 1) * b, :]
+            tok = _sample(probs, g_step, work_ref, top_p, top_k, max_k,
+                          greedy, K_CAP)
+
+            rows_ref[0, :, j:j + 1] = tok[:, None]
+            onehot = (lane_v == tok[:, None]).astype(dtype)
+            # event-net input: midinet.embed_events — gather rows (exact
+            # through the one-hot matmul: one nonzero product each) and sum
+            ev_acc = ev_acc + jnp.dot(onehot, embn_ref[...],
+                                      preferred_element_type=jnp.float32)
+            if j == 0:
+                ended = (tok[:, None] == eos_id)
+                e_off = jnp.clip(tok[:, None] - first_event_id, 0,
+                                 n_events - 1)
+                e_onehot = (lane_e == e_off).astype(jnp.float32)
+            if j < t_max - 1:
+                x = jnp.dot(onehot, embt_ref[...],
+                            preferred_element_type=jnp.float32).astype(dtype)
+
+        xs_ref[...] = ev_acc.astype(dtype)
+
+    # ======================================================================
+    # phases 1..L: event-net layer (fused_step.py semantics, uniform length)
+    # ======================================================================
+    @pl.when(p_i > 0)
+    def _layer_phase():
+        li = p_i - 1
+        len_e = len0_ref[0] + e_i        # history length for this event
+        wpos = len_e                     # append position (wrapper-clipped)
+        nb = (len_e + bk - 1) // bk      # cache blocks per slot (uniform)
+        nbs = jnp.maximum(nb, 1)
+        total = b * nb
+        c_base = (e_i * n_layers + li) * cpl
+
+        x = xs_ref[...]
+
+        # ---- qkv + RoPE (chunked weights) --------------------------------
+        h = _rms_norm(x, ln_ref[0, 0:1], eps)
+        s0 = consume(c_base + 0)
+        q = _mm(h, wbuf[s0])
+        issue(c_base + 0 + n_rot)
+        s1 = consume(c_base + 1)
+        k = _mm(h, wbuf[s1])
+        issue(c_base + 1 + n_rot)
+        s2 = consume(c_base + 2)
+        v = _mm(h, wbuf[s2])
+        issue(c_base + 2 + n_rot)
+
+        cos = cos_e_ref[...]  # [1, W] f32, uniform positions
+        sin = sin_e_ref[...]
+        half = head_dim // 2
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+        first_half = jax.lax.rem(lane, head_dim) < half
+
+        def rot(xx):
+            xf = xx.astype(jnp.float32)
+            return jnp.where(first_half,
+                             -pltpu.roll(xf, shift=w - half, axis=1),
+                             pltpu.roll(xf, shift=half, axis=1))
+
+        qr = (q.astype(jnp.float32) * cos + rot(q) * sin).astype(dtype)
+        kr = (k.astype(jnp.float32) * cos + rot(k) * sin).astype(dtype)
+        qs32 = qr.astype(jnp.float32) * scale
+        qsb = qs32.astype(dtype)
+
+        # ---- fresh-row RMW append: start the tile reads now --------------
+        wbase = pl.multiple_of((wpos % page_size) // RMW_ROWS * RMW_ROWS,
+                               RMW_ROWS)
+
+        def wtile_all(ref):
+            return ref.at[pl.ds(li * batch, batch), wpos // page_size,
+                          pl.ds(wbase, RMW_ROWS)]
+
+        pltpu.make_async_copy(wtile_all(k_out_ref), kwbuf,
+                              rmwsem.at[0, 0]).start()
+        pltpu.make_async_copy(wtile_all(v_out_ref), vwbuf,
+                              rmwsem.at[0, 1]).start()
+
+        # ---- paged flash attention over the cached history ---------------
+        def blk_pages(i):
+            need = ((len_e + page_size - 1) // page_size
+                    - jax.lax.rem(i, nbs) * ppcb)
+            return jnp.clip(need, 1, ppcb)
+
+        def _sized(kp, kk, body):
+            if exact_tail:
+                pl.when(kp == kk)(body)
+            else:
+                body()
+
+        def copy_block(i, slot):
+            row = li * batch + i // nbs
+            blk0 = jax.lax.rem(i, nbs) * ppcb
+            kp = blk_pages(i) if exact_tail else ppcb
+            for kk in (range(1, ppcb + 1) if exact_tail else (ppcb,)):
+                def body(kk=kk):
+                    # stream from the OUTPUT refs: aliased to the input
+                    # pools on hardware, and earlier events' in-dispatch
+                    # appends are visible through them in interpret mode
+                    for jj, (src, dst) in enumerate(
+                            ((k_out_ref, kbuf), (v_out_ref, vbuf))):
+                        pltpu.make_async_copy(src.at[row, pl.ds(blk0, kk)],
+                                              dst.at[slot, pl.ds(0, kk)],
+                                              csems.at[slot, jj]).start()
+                _sized(kp, kk, body)
+
+        def wait_block(i, slot):
+            kp = blk_pages(i) if exact_tail else ppcb
+            for kk in (range(1, ppcb + 1) if exact_tail else (ppcb,)):
+                def body(kk=kk):
+                    for jj, (src, dst) in enumerate(
+                            ((k_out_ref, kbuf), (v_out_ref, vbuf))):
+                        pltpu.make_async_copy(src.at[0, pl.ds(0, kk)],
+                                              dst.at[slot, pl.ds(0, kk)],
+                                              csems.at[slot, jj]).wait()
+                _sized(kp, kk, body)
+
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (w, num_heads), 0)
+        head_w = jax.lax.broadcasted_iota(jnp.int32, (w, num_heads), 1)
+        gmask32 = (lane_w // head_dim == head_w).astype(jnp.float32)
+        gt32 = (jax.lax.broadcasted_iota(jnp.int32, (num_heads, w), 1)
+                // head_dim
+                == jax.lax.broadcasted_iota(jnp.int32, (num_heads, w), 0)
+                ).astype(jnp.float32)
+
+        @pl.when(total > 0)
+        def _():
+            copy_block(0, 0)
+
+        @pl.when(total > 1)
+        def _():
+            copy_block(1, 1)
+
+        for s in range(b):
+            q_rowb = qsb[s:s + 1, :].astype(jnp.float32)
+            i0 = s * nb
+
+            def blk_loop(j, carry, i0=i0, q_rowb=q_rowb):
+                acc, m, l = carry
+                i = i0 + j
+                slot = jax.lax.rem(i, 3)
+
+                @pl.when(i + 2 < total)
+                def _():
+                    copy_block(i + 2, jax.lax.rem(i + 2, 3))
+
+                wait_block(i, slot)
+                k_blk = kbuf[slot].reshape(bk, w)
+                prod = k_blk.astype(jnp.float32) * q_rowb
+                sc = jax.lax.dot(prod, gmask32,
+                                 preferred_element_type=jnp.float32)
+                row = j * bk + jax.lax.broadcasted_iota(jnp.int32,
+                                                        sc.shape, 0)
+                sc = jnp.where(row < len_e, sc, -jnp.inf)
+                block_m = jnp.max(sc, axis=0)[:, None]
+                m_new = jnp.maximum(m, block_m)
+                alpha = jnp.exp(m - m_new)
+                acc = acc * alpha
+                l = l * alpha
+                pexp = jnp.exp(sc - m_new.T)
+                l = l + jnp.sum(pexp, axis=0)[:, None]
+                v_blk = vbuf[slot].reshape(bk, w)
+                v_blk = jnp.where(row[:, :1] < len_e, v_blk,
+                                  jnp.zeros_like(v_blk))
+                acc = acc + jax.lax.dot(
+                    pexp.astype(v_blk.dtype), v_blk,
+                    preferred_element_type=jnp.float32,
+                    dimension_numbers=(((0,), (0,)), ((), ())))
+                return acc, m_new, l
+
+            init = (jnp.zeros((num_heads, w), jnp.float32),
+                    jnp.full((num_heads, 1), -jnp.inf, jnp.float32),
+                    jnp.zeros((num_heads, 1), jnp.float32))
+            acc, m, l = jax.lax.fori_loop(0, nb, blk_loop, init)
+            accs_ref[s] = acc
+            ms_ref[s:s + 1, :] = m.T
+            ls_ref[s:s + 1, :] = l.T
+
+        # ---- batched self-term merge (fused_step.py math) ----------------
+        acc2d = accs_ref[...].reshape(b * num_heads, w)
+        gt_tiled = (jax.lax.broadcasted_iota(
+            jnp.int32, (b * num_heads, w), 1) // head_dim
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (b * num_heads, w), 0) % num_heads
+        ).astype(jnp.float32)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (b, b * num_heads), 1)
+               // num_heads
+               == jax.lax.broadcasted_iota(jnp.int32, (b, b * num_heads), 0)
+               ).astype(jnp.float32)
+        ls2d = ls_ref[...]
+        ms2d = ms_ref[...]
+        lane_l = jax.lax.dot(ls2d, gt32, preferred_element_type=jnp.float32)
+        o_diag = jax.lax.dot(sel, acc2d * gt_tiled,
+                             preferred_element_type=jnp.float32) \
+            / jnp.maximum(lane_l, 1e-30)
+        s_self = jax.lax.dot(qs32 * kr.astype(jnp.float32), gmask32,
+                             preferred_element_type=jnp.float32)
+        m2 = jnp.maximum(ms2d, s_self)
+        w_cache = ls2d * jnp.exp(ms2d - m2)
+        w_self = jnp.exp(s_self - m2)
+        wc = jax.lax.dot(w_cache, gt32, preferred_element_type=jnp.float32)
+        ws = jax.lax.dot(w_self, gt32, preferred_element_type=jnp.float32)
+        attn = (wc * o_diag + ws * v.astype(jnp.float32)) / (wc + ws)
+
+        s3 = consume(c_base + 3)
+        x = x + _mm(attn.astype(dtype), wbuf[s3])
+        issue(c_base + 3 + n_rot)
+
+        # ---- MLP (chunked: nf gate cols, nf up cols, nf down rows) -------
+        hm = _rms_norm(x, ln_ref[0, 1:2], eps)
+        for jj in range(nf):
+            sg = consume(c_base + 4 + jj)
+            g_ref[:, jj * d:(jj + 1) * d] = _mm(hm, wbuf[sg])
+            issue(c_base + 4 + jj + n_rot)
+        for jj in range(nf):
+            su = consume(c_base + 4 + nf + jj)
+            gf = g_ref[:, jj * d:(jj + 1) * d].astype(jnp.float32)
+            g_ref[:, jj * d:(jj + 1) * d] = \
+                (gf * jax.nn.sigmoid(gf)).astype(dtype) * _mm(hm, wbuf[su])
+            issue(c_base + 4 + nf + jj + n_rot)
+        out = jnp.zeros((b, d), jnp.float32)
+        for jj in range(nf):
+            sd = consume(c_base + 4 + 2 * nf + jj)
+            out = out + jax.lax.dot(g_ref[:, jj * d:(jj + 1) * d], wbuf[sd],
+                                    preferred_element_type=jnp.float32)
+            issue(c_base + 4 + 2 * nf + jj + n_rot)
+        x = x + out.astype(dtype)
+        xs_ref[...] = x
+
+        @pl.when((e_i == n_e - 1) & (li == n_layers - 1))
+        def _():
+            xout_ref[...] = x
+
+        # ---- finish the RMW append (uniform: one strided DMA per tensor) -
+        off0 = wpos % page_size - wbase
+        selr = jax.lax.broadcasted_iota(
+            jnp.int32, (b, RMW_ROWS, w), 1) == off0
+        pltpu.make_async_copy(wtile_all(k_out_ref), kwbuf,
+                              rmwsem.at[0, 0]).wait()
+        kwbuf[...] = jnp.where(
+            selr, jnp.broadcast_to(kr[:, None, :], (b, RMW_ROWS, w)),
+            kwbuf[...])
+        pltpu.make_async_copy(kwbuf, wtile_all(k_out_ref),
+                              rmwsem.at[0, 0]).start()
+        pltpu.make_async_copy(wtile_all(v_out_ref), vwbuf,
+                              rmwsem.at[0, 1]).wait()
+        vwbuf[...] = jnp.where(
+            selr, jnp.broadcast_to(v[:, None, :], (b, RMW_ROWS, w)),
+            vwbuf[...])
+        pltpu.make_async_copy(vwbuf, wtile_all(v_out_ref),
+                              rmwsem.at[0, 1]).start()
+        pltpu.make_async_copy(kwbuf, wtile_all(k_out_ref),
+                              rmwsem.at[0, 0]).wait()
+        pltpu.make_async_copy(vwbuf, wtile_all(v_out_ref),
+                              rmwsem.at[0, 1]).wait()
+
+
+def prepare_merged(params: dict):
+    """Stack the event-net layer weights into the uniform [D, D] chunk
+    stream: per layer ``[q, k, v, o, gate*nf, up*nf, down*nf]`` (gate/up
+    split into D-column chunks, down into D-row chunks; zero-padded when
+    the MLP width is not a D multiple — exact: padded columns/rows
+    contribute nothing).  One HBM copy per decode chunk, hoisted outside
+    the event loop by the caller (same contract as fused_step.prepare_fused).
+    """
+    lp = params["net"]["layers"]
+    l_n, dd, ww = lp["wq"].shape
+    assert dd == ww, "merged kernel needs hidden == heads*head_dim"
+    ff = lp["w_gate"].shape[-1]
+    nf = (ff + dd - 1) // dd
+    pad = nf * dd - ff
+
+    def cols(m):  # [L, D, F] -> [L, nf, D, D]
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, pad)))
+        return jnp.swapaxes(m.reshape(l_n, dd, nf, dd), 1, 2)
+
+    def rws(m):  # [L, F, D] -> [L, nf, D, D]
+        m = jnp.pad(m, ((0, 0), (0, pad), (0, 0)))
+        return m.reshape(l_n, nf, dd, dd)
+
+    parts = jnp.concatenate([
+        lp["wq"][:, None], lp["wk"][:, None], lp["wv"][:, None],
+        lp["wo"][:, None], cols(lp["w_gate"]), cols(lp["w_up"]),
+        rws(lp["w_down"]),
+    ], axis=1)  # [L, cpl, D, D]
+    return {
+        "chunks": parts.reshape(l_n * (4 + 3 * nf), dd, dd),
+        "ln": jnp.stack([lp["ln_attn"], lp["ln_mlp"]], axis=1),
+        "final_norm": params["net"]["final_norm"],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "page_size", "pages_per_slot", "n_events", "ppcb", "greedy",
+    "exact_tail", "n_rot", "interpret"))
+def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
+                         pools: PagedPools, len0, temp, top_p, top_k,
+                         gumbel: jax.Array, *, page_size: int,
+                         pages_per_slot: int, n_events: int,
+                         ppcb: int = 4, greedy: bool = False,
+                         exact_tail: bool = None, n_rot: int = 8,
+                         interpret: bool = False):
+    """Decode ``n_events`` full event rows in ONE kernel dispatch.
+
+    merged: :func:`prepare_merged` output merged with the token-net arrays
+    (the caller builds it once per chunk via :func:`prepare_inputs`);
+    hidden [B, D]: normed event-net hidden conditioning the first row;
+    len0: scalar uniform history length (the caller guarantees
+    ``len0 + n_events <= capacity``); gumbel [E, t_max*B, K_CAP].
+
+    Returns (rows [E, B, T] i32, xout [B, D] un-normed residual, pools).
+    """
+    cfgn = cfg.net
+    b, d = hidden.shape
+    w = cfgn.num_heads * cfgn.head_dim
+    assert w == d and cfgn.kv_heads == cfgn.num_heads
+    assert head_stride(cfgn.head_dim, cfgn.num_heads) == cfgn.head_dim
+    l_n = merged["ln"].shape[0]
+    cpl = merged["chunks"].shape[0] // l_n
+    nf = (cpl - 4) // 3
+    dtype = merged["chunks"].dtype
+    t_max = cfg.tokenizer.max_token_seq
+    tok_cfg = cfg.net_token
+    n_ev_types = merged["steps"].shape[0] // t_max
+
+    from ..models.llama import rope_cos_sin
+    from .sampler import _per_row
+
+    len0 = jnp.asarray(len0, jnp.int32).reshape(())
+    # uniform per-event RoPE tables [E, W]
+    cos_e, sin_e = rope_cos_sin(len0 + jnp.arange(n_events), cfgn.head_dim,
+                                cfgn.rope_theta)  # [E, dh]
+    cos_e = jnp.tile(cos_e, (1, cfgn.num_heads)).astype(jnp.float32)
+    sin_e = jnp.tile(sin_e, (1, cfgn.num_heads)).astype(jnp.float32)
+    cos_t, sin_t = rope_cos_sin(jnp.arange(t_max), tok_cfg.head_dim,
+                                tok_cfg.rope_theta)
+
+    if exact_tail is None:
+        exact_tail = True  # grid program size is layer-count independent
+    kernel = functools.partial(
+        _event_loop_kernel, batch=b, num_heads=cfgn.num_heads,
+        head_dim=cfgn.head_dim, hidden=d, nf=nf,
+        page_size=page_size, ppcb=ppcb, pages_per_slot=pages_per_slot,
+        n_layers=l_n, eps=cfgn.rms_norm_eps, exact_tail=exact_tail,
+        n_rot=n_rot, t_layers=tok_cfg.num_layers, t_heads=tok_cfg.num_heads,
+        t_head_dim=tok_cfg.head_dim, t_max=t_max, n_events=n_ev_types,
+        t_eps=tok_cfg.rms_norm_eps, eos_id=int(cfg.tokenizer.eos_id),
+        greedy=greedy)
+
+    pool_shape = pools.k.shape
+    assert not pools.quantized, "merged kernel serves bf16 pools"
+    assert pool_shape[0] == l_n * b * pages_per_slot, pool_shape
+    k4 = pools.k.reshape(l_n * b, pages_per_slot, page_size, -1)
+    v4 = pools.v.reshape(l_n * b, pages_per_slot, page_size, -1)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
+    vocab = merged["lm"].shape[-1]
+    bk = ppcb * page_size
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_events, l_n + 1),
+        in_specs=[
+            vmem,                                                # hidden0
+            any_,                                                # chunks
+            pl.BlockSpec((1, 2, d), lambda e, p, *_: (jnp.maximum(p, 1) - 1,
+                                                  0, 0)),        # ln
+            vmem,                                                # final_norm
+            pl.BlockSpec((1, w), lambda e, p, *_: (e, 0)),           # cos_e
+            pl.BlockSpec((1, w), lambda e, p, *_: (e, 0)),           # sin_e
+            vmem, vmem, vmem,                                    # knobs
+        ] + [vmem] * 18                                # token net + cos/sin
+        + [pl.BlockSpec((1, t_max * b, K_CAP),
+                        lambda e, p, *_: (e, 0, 0))]                 # gumbel
+        + [any_, any_],                                          # pools
+        out_specs=[
+            pl.BlockSpec((1, b, t_max), lambda e, p, *_: (e, 0, 0)),  # rows
+            vmem,                                                 # xout
+            any_, any_,                                           # pools out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d), dtype),                   # xs residual
+            pltpu.VMEM((b, nf * d), dtype),              # g / gated
+            pltpu.VMEM((n_rot, d, d), dtype),            # weight rotation
+            pltpu.SemaphoreType.DMA((n_rot,)),
+            pltpu.VMEM((3, ppcb, page_size, w), pools.k.dtype),
+            pltpu.VMEM((3, ppcb, page_size, w), pools.v.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+            pltpu.VMEM((b, RMW_ROWS, w), pools.k.dtype),  # RMW tiles
+            pltpu.VMEM((b, RMW_ROWS, w), pools.v.dtype),
+            pltpu.SemaphoreType.DMA((1, 2)),
+            pltpu.VMEM((b, cfgn.num_heads, w), jnp.float32),
+            pltpu.VMEM((b, cfgn.num_heads), jnp.float32),
+            pltpu.VMEM((b, cfgn.num_heads), jnp.float32),
+            pltpu.VMEM((b, vocab), jnp.float32),          # sampler work
+        ],
+    )
+    # VMEM budget: token-net residency (~56 MB) + R weight-chunk slots +
+    # cache stream + RMW tiles + parked flash state + sampler work
+    tok_bytes = sum(int(np.prod(merged[n].shape)) * merged[n].dtype.itemsize
+                    for n in ("wq_t", "wk_t", "wv_t", "wo_t", "wg_t", "wu_t",
+                              "wd_t", "lm", "emb_t", "emb_net", "steps"))
+    scratch_bytes = (b * d + b * nf * d + n_rot * d * d) * 2 \
+        + 3 * 2 * bk * w * 2 + 2 * b * RMW_ROWS * w * 2 \
+        + b * cfgn.num_heads * (w + 2) * 4 + b * vocab * 4
+    vmem_limit = int(tok_bytes) + int(scratch_bytes) + _SLACK_BYTES
+
+    topk = _per_row(top_k, b, jnp.int32)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_events, b, t_max), jnp.int32),
+            jax.ShapeDtypeStruct((b, d), dtype),
+            jax.ShapeDtypeStruct(k4.shape, k4.dtype),
+            jax.ShapeDtypeStruct(v4.shape, v4.dtype),
+        ],
+        input_output_aliases={30: 2, 31: 3},  # 2 scalars + 28 ins
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(
+        len0.reshape(1), jnp.max(topk).reshape(1),
+        hidden.astype(dtype), merged["chunks"], merged["ln"],
+        merged["final_norm"].reshape(1, d).astype(dtype), cos_e, sin_e,
+        _per_row(temp, b, jnp.float32), _per_row(top_p, b, jnp.float32),
+        topk,
+        merged["wq_t"], merged["wk_t"], merged["wv_t"], merged["wo_t"],
+        merged["wg_t"], merged["wu_t"], merged["wd_t"],
+        merged["lna_t"], merged["lnm_t"], merged["fnorm_t"],
+        merged["lm"], merged["emb_t"], merged["emb_net"],
+        merged["first"], merged["steps"], merged["pad_only"],
+        cos_t, sin_t, gumbel, k4, v4,
+    )
+    rows, xout, k_new, v_new = outs
+    return rows, xout, PagedPools(k=k_new.reshape(pool_shape),
+                                  v=v_new.reshape(pool_shape))
+
+
+def prepare_inputs(params: dict, config, masks):
+    """Everything :func:`merged_decode_events` needs that is loop-invariant:
+    the event-net chunk stream (:func:`prepare_merged`) plus the token-net
+    weight arrays and mask tables, keyed exactly like token_loop's inputs."""
+    merged = prepare_merged(params)
+    lp = params["net_token"]["layers"]
+    d = params["lm_head"].shape[0]
+    dtype = params["lm_head"].dtype
+    first, steps_tbl, pad_only = masks
+    n_ev, t_max, vocab = steps_tbl.shape
+    merged.update({
+        "wq_t": lp["wq"], "wk_t": lp["wk"], "wv_t": lp["wv"],
+        "wo_t": lp["wo"], "wg_t": lp["w_gate"], "wu_t": lp["w_up"],
+        "wd_t": lp["w_down"], "lna_t": lp["ln_attn"], "lnm_t": lp["ln_mlp"],
+        "fnorm_t": params["net_token"]["final_norm"].reshape(1, d),
+        "lm": params["lm_head"].astype(dtype),
+        "emb_t": params["net_token"]["embed"].astype(dtype),
+        "emb_net": params["net"]["embed"].astype(dtype),
+        "first": first.astype(jnp.float32)[None, :],
+        "steps": jnp.swapaxes(steps_tbl.astype(jnp.bfloat16), 0, 1
+                              ).reshape(t_max * n_ev, vocab),
+        "pad_only": pad_only.astype(jnp.float32)[None, :],
+    })
+    return merged
+
+
+_ENABLED = True
+EVENTS_PER_DISPATCH = 8
+
+
+def set_enabled(v: bool):
+    """Toggle the merged kernel (A/B benchmarks, strict-parity runs)."""
+    global _ENABLED
+    _ENABLED = v
+
+
+def usable(params: dict, config, pools: PagedPools) -> bool:
+    """TPU serving configuration: bf16 weights + pools, MHA, hidden ==
+    heads*head_dim (uniform chunk shapes), and a token net the resident
+    phase supports."""
+    cfgn = config.net
+    return (_ENABLED and jax.default_backend() == "tpu"
+            and params["lm_head"].dtype == jnp.bfloat16
+            and not pools.quantized
+            and cfgn.kv_heads == cfgn.num_heads
+            and cfgn.num_heads * cfgn.head_dim == cfgn.hidden_size
+            and head_stride(cfgn.head_dim, cfgn.num_heads) == cfgn.head_dim)

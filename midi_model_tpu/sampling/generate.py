@@ -315,7 +315,62 @@ def _decode_events_impl(params, config: MIDIModelConfig, state: GenState,
         rows = jax.lax.dynamic_update_slice(rows, row[:, None, :], (0, step, 0))
         return state, rows, step + 1
 
-    state, rows, n_done = jax.lax.while_loop(cond, body, (state, rows0, 0))
+    # whole-event-loop kernel (TPU/bf16/MHA, bs<=64): E events per dispatch —
+    # token rows sampled AND the event net advanced in ONE pallas_call, the
+    # weight stream crossing event boundaries (ops/event_loop.py).  Runs the
+    # E-sized dispatches; the per-event while_loop below finishes the tail
+    # (chunk remainder, near-capacity spans, post-eos) with identical
+    # semantics, so the two paths compose as one chunk.
+    from ..ops import event_loop as _el
+
+    step0 = 0
+    if (tp_axis is None and b <= 64
+            and _el.usable(params, config, state.pools)):
+        E = _el.EVENTS_PER_DISPATCH
+        merged = _el.prepare_inputs(params, config, masks)
+        nd = n_events_chunk // E
+        eos_id = config.tokenizer.eos_id
+        ps = state.pools.page_size
+        pps = state.pools.k.shape[0] // (config.net.num_layers * b)
+
+        def mcond(carry):
+            st, _, _, d = carry
+            return (d < nd) & (~st.all_eos) & (st.cur_len + E <= max_seq)
+
+        def mbody(carry):
+            st, rows, step, d = carry
+            keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(
+                step + jnp.arange(E))
+            if greedy:
+                gumbel = jnp.zeros((E, t_max * b, _el.K_CAP), jnp.float32)
+            else:
+                gumbel = jax.vmap(lambda k2: jax.random.gumbel(
+                    k2, (t_max * b, _el.K_CAP), jnp.float32))(keys)
+            rows_e, xout, pools = _el.merged_decode_events(
+                merged, config, st.hidden, st.pools, st.cur_len, temp,
+                top_p, top_k, gumbel, page_size=ps, pages_per_slot=pps,
+                n_events=E, greedy=greedy)
+            hidden = llama.rms_norm(xout, merged["final_norm"],
+                                    config.net.rms_norm_eps)
+            # an all-eos event ends the chunk: keep rows up to and including
+            # it, rewind cur_len past the speculated appends (rows beyond
+            # cur_len are never read and are overwritten by later appends)
+            ended_e = jnp.all(rows_e[:, :, 0] == eos_id, axis=1)  # [E]
+            any_end = jnp.any(ended_e)
+            n_in = jnp.where(any_end, jnp.argmax(ended_e) + 1, E
+                             ).astype(jnp.int32)
+            keep = jnp.arange(E)[None, :, None] < n_in
+            block = jnp.where(keep, jnp.transpose(rows_e, (1, 0, 2)), pad_id)
+            rows = jax.lax.dynamic_update_slice(rows, block, (0, step, 0))
+            st = st._replace(pools=pools, hidden=hidden,
+                             cur_len=st.cur_len + n_in, all_eos=any_end)
+            return st, rows, step + n_in, d + 1
+
+        state, rows0, step0, _ = jax.lax.while_loop(
+            mcond, mbody, (state, rows0, 0, 0))
+
+    state, rows, n_done = jax.lax.while_loop(cond, body,
+                                             (state, rows0, step0))
     return state, rows, n_done
 
 
