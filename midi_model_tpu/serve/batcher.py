@@ -33,8 +33,10 @@ design: 2.3k / 3.3k). ``kv_int8`` stores int8 pages + per-token scales:
 HALF the cache HBM — the capacity option for many slots x long contexts
 (128 slots x 4096 events: 6.7 GB instead of 12.9 GB); since the round-4
 scoped-vmem root-cause fix (utils/xla_opts.py) the fused token-row kernel
-stays on in EVERY configuration — int8 at 32 slots measures 8.4k ev/s
-(was 8.2k via the round-3 token-scan fallback).
+stays on in every tv2o-medium configuration — int8 at 32 slots measures
+8.4k ev/s (was 8.2k via the round-3 token-scan fallback).  The one
+remaining gate is physical: >16-layer nets keep the kernel only up to 32
+slots (see __init__).
 
 Sampling draws on TPU come from the Pallas Gumbel-argmax kernel: the same
 distribution as the XLA inverse-CDF sampler, but a different realized draw
@@ -441,8 +443,17 @@ class ContinuousBatcher:
         # them: XLA's custom-fusion cloning DROPS a pallas_call's explicit
         # vmem limit at long scan lengths and the 16 MB program default
         # rejects it (utils/xla_opts.py) — _step_jitted() now compiles with
-        # the program default raised, and every combination co-compiles.
-        self._token_kernel_ok = True
+        # the program default raised, and every medium combination
+        # co-compiles.  One PHYSICAL limit remains (measured 2026-08-19):
+        # tv2o-large's 6-layer token net keeps ~98 MB of weights VMEM-
+        # resident and the kernel's register spills scale with the slot
+        # count — at 128 slots the program needs 141.7 MB of the chip's
+        # 128 MB VMEM (bf16 and int8 alike) and the compiler rejects it
+        # outright; 32 slots fit and measure 5,891 ev/s.  No raise can
+        # create VMEM: >16-layer nets take the XLA token scan above 32
+        # slots (tools/bench_batcher.py --model=tv2o-large reproduces).
+        self._token_kernel_ok = (config.net.num_layers <= 16
+                                 or local_slots <= 32)
         # whole 4-page kernel compute blocks (a non-multiple forces one-page
         # DMAs in the paged kernel — measured 1.5-1.7x slower)
         block = 4 * page_size

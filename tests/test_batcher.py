@@ -110,6 +110,20 @@ def test_kv_int8_small_slots_runs_token_kernel(setup):
         assert ev or row[0] in (tok.pad_id, tok.eos_id)
 
 
+def test_deep_net_token_kernel_gate():
+    """>16-layer nets (tv2o-large): the token-row kernel's VMEM-resident
+    weights + slot-scaled register spills exceed the chip's 128 MB above
+    32 slots (measured 141.7 MB at 128; a PHYSICAL limit, not the round-3
+    scoped-accounting bug) — the batcher must gate it to the XLA scan."""
+    cfg = MIDIModelConfig.get_config("v2", True, n_layer=20, n_head=4,
+                                     n_embd=64, n_inner=128)
+    params = midinet.init_params(jax.random.PRNGKey(0), cfg)
+    small = ContinuousBatcher(params, cfg, n_slots=32, max_seq=32, chunk=2)
+    assert small._token_kernel_ok
+    big = ContinuousBatcher(params, cfg, n_slots=96, max_seq=32, chunk=2)
+    assert not big._token_kernel_ok
+
+
 def test_per_request_constraints_share_batch(setup):
     """Requests with different grammar bans share one batch: the banned ids
     never appear in the constrained stream, and an unconstrained slot's

@@ -1,0 +1,82 @@
+"""A/B the whole-event-loop kernel (ops/event_loop.py) on the real chip.
+
+Measures aligned decode (tv2o-medium, bs=32, 1024 events, top-p/top-k —
+the bench.py configuration) three ways:
+
+    python tools/probe_event_loop.py           # merged E=8 vs split (r3 path)
+    python tools/probe_event_loop.py --e 16    # one merged config only
+    python tools/probe_event_loop.py --model tv2o-large
+
+The split baseline is the round-3 kernel pair (fused whole-step event net +
+token-row kernel), i.e. what bench.py shipped before the merge.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+BATCH = 32
+MAX_EVENTS = 1024
+
+
+def measure(tag, model="tv2o-medium"):
+    import jax
+    import jax.numpy as jnp
+
+    from midi_model_tpu.models import MIDIModelConfig, midinet
+    from midi_model_tpu.sampling import build_mask_table, prefill
+    from midi_model_tpu.sampling.generate import (_decode_events_jitted,
+                                                  _mask_arrays, decode_events,
+                                                  normalize_prompt)
+
+    _decode_events_jitted.cache_clear()  # re-trace under the current toggles
+    config = MIDIModelConfig.from_name(model)
+    params = midinet.init_params(jax.random.PRNGKey(0), config,
+                                 dtype=jnp.bfloat16)
+    prompt = jnp.asarray(normalize_prompt(config.tokenizer, None, BATCH))
+    masks = _mask_arrays(build_mask_table(config.tokenizer, disable_eos=True))
+    key = jax.random.PRNGKey(42)
+
+    def run():
+        state = prefill(params, config, prompt, 1 + MAX_EVENTS)
+        state, rows, n = decode_events(params, config, state, masks,
+                                       MAX_EVENTS, 1.0, 0.98, 20, key)
+        return int(n)
+
+    t0 = time.time()
+    run()
+    print(f"[{tag}] compile+warmup {time.time() - t0:.0f}s", flush=True)
+    rates = []
+    for _ in range(3):
+        t0 = time.time()
+        n = run()
+        rates.append(n * BATCH / (time.time() - t0))
+    print(f"[{tag}] best {max(rates):,.0f} ev/s  "
+          f"median {float(np.median(rates)):,.0f}  runs "
+          + " ".join(f"{r:,.0f}" for r in rates), flush=True)
+    _decode_events_jitted.cache_clear()
+
+
+def main():
+    from midi_model_tpu.ops import event_loop
+
+    args = sys.argv[1:]
+    model = next((a.split("=")[1] for a in args
+                  if a.startswith("--model=")), "tv2o-medium")
+    e_only = next((int(a.split("=")[1]) for a in args
+                   if a.startswith("--e=")), None)
+    if e_only is not None:
+        event_loop.EVENTS_PER_DISPATCH = e_only
+        measure(f"merged-E{e_only}", model)
+        return
+    measure("merged-E8", model)
+    event_loop.set_enabled(False)
+    measure("split-r3", model)
+
+
+if __name__ == "__main__":
+    main()
