@@ -263,8 +263,8 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
         v = _mm(h, wbuf[s2])
         issue(c_base + 2 + n_rot)
 
-        cos = cos_e_ref[...]  # [1, W] f32, uniform positions
-        sin = sin_e_ref[...]
+        cos = cos_e_ref[0]  # [1, W] f32, uniform positions
+        sin = sin_e_ref[0]
         half = head_dim // 2
         lane = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
         first_half = jax.lax.rem(lane, head_dim) < half
@@ -547,8 +547,9 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
     # uniform per-event RoPE tables [E, W]
     cos_e, sin_e = rope_cos_sin(len0 + jnp.arange(n_events), cfgn.head_dim,
                                 cfgn.rope_theta)  # [E, dh]
-    cos_e = jnp.tile(cos_e, (1, cfgn.num_heads)).astype(jnp.float32)
-    sin_e = jnp.tile(sin_e, (1, cfgn.num_heads)).astype(jnp.float32)
+    # [E, 1, W]: the unit sublane dim keeps the (1, 1, W) block legal
+    cos_e = jnp.tile(cos_e, (1, cfgn.num_heads)).astype(jnp.float32)[:, None]
+    sin_e = jnp.tile(sin_e, (1, cfgn.num_heads)).astype(jnp.float32)[:, None]
     cos_t, sin_t = rope_cos_sin(jnp.arange(t_max), tok_cfg.head_dim,
                                 tok_cfg.rope_theta)
 
@@ -584,8 +585,8 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
             pl.BlockSpec((1, 2, d), lambda e, p, *_: (jnp.maximum(p, 1) - 1,
                                                   0, 0)),        # ln
             vmem,                                                # final_norm
-            pl.BlockSpec((1, w), lambda e, p, *_: (e, 0)),           # cos_e
-            pl.BlockSpec((1, w), lambda e, p, *_: (e, 0)),           # sin_e
+            pl.BlockSpec((1, 1, w), lambda e, p, *_: (e, 0, 0)),     # cos_e
+            pl.BlockSpec((1, 1, w), lambda e, p, *_: (e, 0, 0)),     # sin_e
             vmem, vmem, vmem,                                    # knobs
         ] + [vmem] * 18                                # token net + cos/sin
         + [pl.BlockSpec((1, t_max * b, K_CAP),
@@ -692,14 +693,26 @@ def set_enabled(v: bool):
     _ENABLED = v
 
 
+def _resident_bytes(params: dict) -> int:
+    """Token-net weights + lm_head + both embed tables: what the token
+    phase keeps VMEM-resident for the whole dispatch."""
+    leaves = list(jax.tree_util.tree_leaves(params["net_token"]))
+    leaves += [params["lm_head"], params["net"]["embed"]]
+    return sum(int(np.prod(x.shape)) * x.dtype.itemsize for x in leaves)
+
+
 def usable(params: dict, config, pools: PagedPools) -> bool:
     """TPU serving configuration: bf16 weights + pools, MHA, hidden ==
-    heads*head_dim (uniform chunk shapes), and a token net the resident
-    phase supports."""
+    heads*head_dim (uniform chunk shapes), and a token net whose resident
+    footprint leaves room for the weight rotation + cache stream in the
+    128 MB VMEM (tv2o-medium: ~63 MB resident, fits easily; tv2o-large's
+    6-layer token net is ~105 MB and does NOT — large keeps the round-3
+    kernel pair)."""
     cfgn = config.net
     return (_ENABLED and jax.default_backend() == "tpu"
             and params["lm_head"].dtype == jnp.bfloat16
             and not pools.quantized
             and cfgn.kv_heads == cfgn.num_heads
             and cfgn.num_heads * cfgn.head_dim == cfgn.hidden_size
-            and head_stride(cfgn.head_dim, cfgn.num_heads) == cfgn.head_dim)
+            and head_stride(cfgn.head_dim, cfgn.num_heads) == cfgn.head_dim
+            and _resident_bytes(params) <= 80 << 20)

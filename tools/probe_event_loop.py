@@ -69,9 +69,17 @@ def main():
                   if a.startswith("--model=")), "tv2o-medium")
     e_only = next((int(a.split("=")[1]) for a in args
                    if a.startswith("--e=")), None)
-    if e_only is not None:
-        event_loop.EVENTS_PER_DISPATCH = e_only
-        measure(f"merged-E{e_only}", model)
+    rot = next((int(a.split("=")[1]) for a in args
+                if a.startswith("--rot=")), None)
+    if rot is not None:
+        import functools
+
+        orig = event_loop.merged_decode_events
+        event_loop.merged_decode_events = functools.partial(orig, n_rot=rot)
+    if e_only is not None or rot is not None:
+        if e_only is not None:
+            event_loop.EVENTS_PER_DISPATCH = e_only
+        measure(f"merged-E{e_only or 8}-R{rot or 8}", model)
         return
     measure("merged-E8", model)
     event_loop.set_enabled(False)
