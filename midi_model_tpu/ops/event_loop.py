@@ -22,13 +22,16 @@ in-kernel → o-proj → SwiGLU).  What the merge buys:
 - the token-net weights are plain VMEM inputs, fetched ONCE per dispatch
   and reused by all E events (~56 MB/event of HBM traffic deleted);
 - the event-net weights stream through a manual R-slot DMA rotation of
-  uniform ``[D, D]`` chunks (q, k, v, o, then the MLP matrices split into
-  D-column/row chunks).  A consumed chunk immediately re-issues its slot
-  for the chunk R ahead, so the stream crosses layer, phase, and EVENT
+  WIDE uniform ``[D, 4D]`` chunks (q|k|v|o lane-packed in one DMA; gate
+  and up whole; down's D-row blocks packed side-by-side along lanes — see
+  prepare_merged).  A consumed chunk immediately re-issues its slot for
+  the chunk R ahead, so the stream crosses layer, phase, and EVENT
   boundaries without draining — layer-0 chunks of event ``e+1`` stream
   while event ``e``'s token row computes.  The rotation also replaces the
   2x-per-layer-weights BlockSpec double-buffer (~67 MB) with R chunk slots
-  (~16 MB), which is what lets the token net's weights co-reside;
+  (~34 MB at R=4), which is what lets the token net's weights co-reside;
+  wide chunks measure +0.7% over [D, D] granularity (48 scalar-core DMA
+  waits per event instead of 192; v5e, bs=32);
 - the sampled row feeds the event net in-kernel: the event embedding
   (midinet.embed_events: gather + sum over the row) accumulates as one-hot
   MXU matmuls against the event embed table while the tokens are sampled —
@@ -73,7 +76,7 @@ _SLACK_BYTES = 8 << 20  # Mosaic compiler temporaries
 
 def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
         *args,
-        batch: int, num_heads: int, head_dim: int, hidden: int, nf: int,
+        batch: int, num_heads: int, head_dim: int, hidden: int, ng: int,
         page_size: int, ppcb: int, pages_per_slot: int, n_layers: int,
         eps: float, exact_tail: bool, n_rot: int,
         t_layers: int, t_heads: int, t_head_dim: int, t_max: int,
@@ -98,7 +101,7 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
     dtype = lm_ref.dtype
     scale = head_dim ** -0.5
     bk = ppcb * page_size
-    cpl = 4 + 3 * nf                # chunks per layer: q k v o + 3*nf MLP
+    cpl = 1 + 3 * ng                # chunks per layer: qkvo + 3*ng MLP
     n_chunks = n_e * n_layers * cpl
 
     # ---- weight-chunk rotation ------------------------------------------
@@ -251,17 +254,13 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
 
         x = xs_ref[...]
 
-        # ---- qkv + RoPE (chunked weights) --------------------------------
+        # ---- qkv + RoPE (wide weight chunk: q|k|v|o one DMA) -------------
         h = _rms_norm(x, ln_ref[0, 0:1], eps)
-        s0 = consume(c_base + 0)
-        q = _mm(h, wbuf[s0])
-        issue(c_base + 0 + n_rot)
-        s1 = consume(c_base + 1)
-        k = _mm(h, wbuf[s1])
-        issue(c_base + 1 + n_rot)
-        s2 = consume(c_base + 2)
-        v = _mm(h, wbuf[s2])
-        issue(c_base + 2 + n_rot)
+        s0 = consume(c_base)
+        q = _mm(h, wbuf[s0, :, :w])
+        k = _mm(h, wbuf[s0, :, w:2 * w])
+        v = _mm(h, wbuf[s0, :, 2 * w:3 * w])
+        # slot s0 stays live through the o-proj below; refilled there
 
         cos = cos_e_ref[0]  # [1, W] f32, uniform positions
         sin = sin_e_ref[0]
@@ -419,28 +418,31 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
         ws = jax.lax.dot(w_self, gt32, preferred_element_type=jnp.float32)
         attn = (wc * o_diag + ws * v.astype(jnp.float32)) / (wc + ws)
 
-        s3 = consume(c_base + 3)
-        x = x + _mm(attn.astype(dtype), wbuf[s3])
-        issue(c_base + 3 + n_rot)
+        x = x + _mm(attn.astype(dtype), wbuf[s0, :, 3 * w:])
+        issue(c_base + n_rot)
 
-        # ---- MLP (chunked: nf gate cols, nf up cols, nf down rows) -------
+        # ---- MLP (wide chunks: gate, up, then down row-packed) -----------
+        w4 = 4 * d
         hm = _rms_norm(x, ln_ref[0, 1:2], eps)
-        for jj in range(nf):
-            sg = consume(c_base + 4 + jj)
-            g_ref[:, jj * d:(jj + 1) * d] = _mm(hm, wbuf[sg])
-            issue(c_base + 4 + jj + n_rot)
-        for jj in range(nf):
-            su = consume(c_base + 4 + nf + jj)
-            gf = g_ref[:, jj * d:(jj + 1) * d].astype(jnp.float32)
-            g_ref[:, jj * d:(jj + 1) * d] = \
+        for gi in range(ng):
+            sg = consume(c_base + 1 + gi)
+            g_ref[:, gi * w4:(gi + 1) * w4] = _mm(hm, wbuf[sg])
+            issue(c_base + 1 + gi + n_rot)
+        for gi in range(ng):
+            su = consume(c_base + 1 + ng + gi)
+            gf = g_ref[:, gi * w4:(gi + 1) * w4].astype(jnp.float32)
+            g_ref[:, gi * w4:(gi + 1) * w4] = \
                 (gf * jax.nn.sigmoid(gf)).astype(dtype) * _mm(hm, wbuf[su])
-            issue(c_base + 4 + nf + jj + n_rot)
+            issue(c_base + 1 + ng + gi + n_rot)
         out = jnp.zeros((b, d), jnp.float32)
-        for jj in range(nf):
-            sd = consume(c_base + 4 + 2 * nf + jj)
-            out = out + jax.lax.dot(g_ref[:, jj * d:(jj + 1) * d], wbuf[sd],
-                                    preferred_element_type=jnp.float32)
-            issue(c_base + 4 + 2 * nf + jj + n_rot)
+        for gi in range(ng):
+            sd = consume(c_base + 1 + 2 * ng + gi)
+            for jj in range(4):  # 4 D-row blocks per down chunk
+                out = out + jax.lax.dot(
+                    g_ref[:, (gi * 4 + jj) * d:(gi * 4 + jj + 1) * d],
+                    wbuf[sd, :, jj * d:(jj + 1) * d],
+                    preferred_element_type=jnp.float32)
+            issue(c_base + 1 + 2 * ng + gi + n_rot)
         x = x + out.astype(dtype)
         xs_ref[...] = x
 
@@ -473,35 +475,49 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
 
 
 def prepare_merged(params: dict):
-    """Stack the event-net layer weights into the uniform [D, D] chunk
-    stream: per layer ``[q, k, v, o, gate*nf, up*nf, down*nf]`` (gate/up
-    split into D-column chunks, down into D-row chunks; zero-padded when
-    the MLP width is not a D multiple — exact: padded columns/rows
-    contribute nothing).  One HBM copy per decode chunk, hoisted outside
-    the event loop by the caller (same contract as fused_step.prepare_fused).
-    """
+    """Stack the event-net layer weights into the uniform [D, 4D] chunk
+    stream — WIDE chunks so the rotation waits ~4x less often (192 scalar-
+    core DMA waits per event at [D, D] granularity measured ~0.5% of
+    headline each; 48 at this width).  Per layer:
+
+      chunk 0:        q | k | v | o          (lane-packed, one DMA)
+      chunks 1..ng:   gate, 4 D-column blocks per chunk
+      chunks ..2ng:   up, same
+      chunks ..3ng:   down, 4 D-ROW blocks packed side-by-side along lanes
+                      (chunk[:, j*D:(j+1)*D] = w_down[(4g+j)*D:, :][:D]) —
+                      row-major streaming without any transposed matmul
+
+    Zero-padded when the MLP width is not a 4D multiple — exact: padded
+    columns/rows contribute nothing.  One HBM copy per decode chunk,
+    hoisted outside the event loop by the caller (same contract as
+    fused_step.prepare_fused)."""
     lp = params["net"]["layers"]
     l_n, dd, ww = lp["wq"].shape
     assert dd == ww, "merged kernel needs hidden == heads*head_dim"
     ff = lp["w_gate"].shape[-1]
-    nf = (ff + dd - 1) // dd
-    pad = nf * dd - ff
+    nf = (ff + dd - 1) // dd          # D-column/row blocks in the MLP
+    ng = (nf + 3) // 4                # [D, 4D] chunks per MLP matrix
+    pad = ng * 4 * dd - ff
 
-    def cols(m):  # [L, D, F] -> [L, nf, D, D]
+    qkvo = jnp.concatenate([lp["wq"], lp["wk"], lp["wv"], lp["wo"]],
+                           axis=-1)  # [L, D, 4D]
+
+    def cols(m):  # [L, D, F] -> [L, ng, D, 4D]
         m = jnp.pad(m, ((0, 0), (0, 0), (0, pad)))
-        return jnp.swapaxes(m.reshape(l_n, dd, nf, dd), 1, 2)
+        return jnp.swapaxes(m.reshape(l_n, dd, ng, 4 * dd), 1, 2)
 
-    def rws(m):  # [L, F, D] -> [L, nf, D, D]
+    def rows4(m):  # [L, F, D] -> [L, ng, D, 4D], 4 row-blocks per chunk
         m = jnp.pad(m, ((0, 0), (0, pad), (0, 0)))
-        return m.reshape(l_n, nf, dd, dd)
+        m = m.reshape(l_n, ng, 4, dd, dd)
+        return jnp.transpose(m, (0, 1, 3, 2, 4)).reshape(
+            l_n, ng, dd, 4 * dd)
 
     parts = jnp.concatenate([
-        lp["wq"][:, None], lp["wk"][:, None], lp["wv"][:, None],
-        lp["wo"][:, None], cols(lp["w_gate"]), cols(lp["w_up"]),
-        rws(lp["w_down"]),
-    ], axis=1)  # [L, cpl, D, D]
+        qkvo[:, None], cols(lp["w_gate"]), cols(lp["w_up"]),
+        rows4(lp["w_down"]),
+    ], axis=1)  # [L, cpl, D, 4D]
     return {
-        "chunks": parts.reshape(l_n * (4 + 3 * nf), dd, dd),
+        "chunks": parts.reshape(l_n * (1 + 3 * ng), dd, 4 * dd),
         "ln": jnp.stack([lp["ln_attn"], lp["ln_mlp"]], axis=1),
         "final_norm": params["net"]["final_norm"],
     }
@@ -515,7 +531,7 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
                          gumbel: jax.Array, *, page_size: int,
                          pages_per_slot: int, n_events: int,
                          ppcb: int = 4, greedy: bool = False,
-                         exact_tail: bool = None, n_rot: int = 8,
+                         exact_tail: bool = None, n_rot: int = 4,
                          interpret: bool = False):
     """Decode ``n_events`` full event rows in ONE kernel dispatch.
 
@@ -534,7 +550,7 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
     assert head_stride(cfgn.head_dim, cfgn.num_heads) == cfgn.head_dim
     l_n = merged["ln"].shape[0]
     cpl = merged["chunks"].shape[0] // l_n
-    nf = (cpl - 4) // 3
+    ng = (cpl - 1) // 3
     dtype = merged["chunks"].dtype
     t_max = cfg.tokenizer.max_token_seq
     tok_cfg = cfg.net_token
@@ -557,7 +573,7 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
         exact_tail = True  # grid program size is layer-count independent
     kernel = functools.partial(
         _event_loop_kernel, batch=b, num_heads=cfgn.num_heads,
-        head_dim=cfgn.head_dim, hidden=d, nf=nf,
+        head_dim=cfgn.head_dim, hidden=d, ng=ng,
         page_size=page_size, ppcb=ppcb, pages_per_slot=pages_per_slot,
         n_layers=l_n, eps=cfgn.rms_norm_eps, exact_tail=exact_tail,
         n_rot=n_rot, t_layers=tok_cfg.num_layers, t_heads=tok_cfg.num_heads,
@@ -599,8 +615,8 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
         ],
         scratch_shapes=[
             pltpu.VMEM((b, d), dtype),                   # xs residual
-            pltpu.VMEM((b, nf * d), dtype),              # g / gated
-            pltpu.VMEM((n_rot, d, d), dtype),            # weight rotation
+            pltpu.VMEM((b, ng * 4 * d), dtype),          # g / gated
+            pltpu.VMEM((n_rot, d, 4 * d), dtype),        # weight rotation
             pltpu.SemaphoreType.DMA((n_rot,)),
             pltpu.VMEM((3, ppcb, page_size, w), pools.k.dtype),
             pltpu.VMEM((3, ppcb, page_size, w), pools.v.dtype),
@@ -619,7 +635,7 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
     tok_bytes = sum(int(np.prod(merged[n].shape)) * merged[n].dtype.itemsize
                     for n in ("wq_t", "wk_t", "wv_t", "wo_t", "wg_t", "wu_t",
                               "wd_t", "lm", "emb_t", "emb_net", "steps"))
-    scratch_bytes = (b * d + b * nf * d + n_rot * d * d) * 2 \
+    scratch_bytes = (b * d + b * ng * 4 * d + n_rot * d * 4 * d) * 2 \
         + 3 * 2 * bk * w * 2 + 2 * b * RMW_ROWS * w * 2 \
         + b * cfgn.num_heads * (w + 2) * 4 + b * vocab * 4
     vmem_limit = int(tok_bytes) + int(scratch_bytes) + _SLACK_BYTES
