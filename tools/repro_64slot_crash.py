@@ -7,8 +7,30 @@ program at 32, 96 or 128 slots compiles and runs.  ``ContinuousBatcher``
 fences n_slots=64 at construction and points here
 (tests/test_batcher.py covers the fence via a backend monkeypatch).
 
-Round-4 narrowing: run the program's pieces one at a time at 64 slots to
-find the smallest failing Mosaic program:
+Round-4 narrowing (measured 2026-08-19 on the live v5e): at 64 slots the
+three Pallas kernels each compile AND RUN standalone (``--component token``
+prints ok 590915, ``paged`` ok, ``event`` ok) — the crash is NOT a Mosaic
+kernel bug.  Only the composed scan body (``--component step``, jitted
+WITHOUT the batcher's raised scoped-vmem default) fails, and it fails
+cleanly in an XLA *fusion*, not a kernel; verbatim:
+
+    Ran out of memory in memory space vmem while allocating on stack for
+    %fusion.4 = bf16[512,1024]{1,0:T(8,128)(2,1)S(1)} fusion(%copy-done,
+    %pad_clamp_fusion.2), kind=kCustom, ...,
+    metadata={op_name="jit(<unknown>)/while/body/closed_call/jit(_take)
+    /gather" source_file=".../models/midinet.py" source_line=51}.
+    Scoped allocation with size 22.84M and limit 22.78M exceeded scoped
+    vmem limit by 60.0K. It should not be possible to run out of scoped
+    vmem - please file a bug against XLA.
+
+i.e. the embed_events token-id gather's fusion lands 60 KB over whatever
+scoped budget remains next to the kernels' reservations at exactly 512
+gather rows (64 slots x 8 tokens).  The ``step`` component now compiles
+with the same ``decode_step_compiler_options()`` raise the real batcher
+program uses, to test whether the production configuration clears it.
+
+Run the program's pieces one at a time at 64 slots to
+find the smallest failing program:
 
     python tools/repro_64slot_crash.py --component token   # token-row kernel
     python tools/repro_64slot_crash.py --component paged   # streaming paged
@@ -104,6 +126,7 @@ def run_component(component, slots):
         print("ok", float(h.astype(jnp.float32).sum()), flush=True)
     elif component == "step":
         from midi_model_tpu.serve import batcher as bt
+        from midi_model_tpu.utils.xla_opts import decode_step_compiler_options
         import functools
 
         masks = _mask_arrays(build_mask_table(config.tokenizer,
@@ -114,6 +137,7 @@ def run_component(component, slots):
                               pages_per_slot=PPS, token_kernel_ok=True)
         carry, rows = jax.jit(
             f, donate_argnums=(2,), static_argnames=("config", "greedy"),
+            compiler_options=decode_step_compiler_options(),
         )(params, config, carry, masks, jnp.ones((b,), bool),
           1.0, 0.98, 20, seed, greedy=False)
         print("ok", int(rows.sum()), flush=True)
