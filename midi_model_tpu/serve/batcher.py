@@ -42,8 +42,6 @@ Sampling draws on TPU come from the Pallas Gumbel-argmax kernel: the same
 distribution as the XLA inverse-CDF sampler, but a different realized draw
 for a given PRNG key (see sampling/topk_topp.py ``use_kernel``).
 
-n_slots=64 is fenced at construction: this environment's remote TPU
-compiler crashes on exactly-64-slot programs (tools/repro_64slot_crash.py).
 """
 
 from __future__ import annotations
@@ -420,16 +418,14 @@ class ContinuousBatcher:
                              f"data axis size {dp}")
         self.tp = tp
         local_slots = n_slots // dp
-        if (local_slots == 64 and jax.default_backend() == "tpu"
-                and not os.environ.get("MIDI_TPU_ALLOW_64_SLOTS")):
-            # This container's remote TPU compiler crashes on exactly-64-slot
-            # batcher programs (minimal repro: tools/repro_64slot_crash.py).
-            # Fence it at construction instead of letting users hit an opaque
-            # compiler crash deep in the first step().
-            raise ValueError(
-                "64 slots per chip crashes this environment's TPU compiler "
-                "(tools/repro_64slot_crash.py); use 32, 96 or 128 slots, or "
-                "set MIDI_TPU_ALLOW_64_SLOTS=1 to try anyway.")
+        # Rounds 2-3 fenced n_slots=64 after the remote TPU compiler rejected
+        # exactly-64-slot batcher programs.  Round 4 narrowed it (tools/
+        # repro_64slot_crash.py): the embed_events gather fusion lands 60 KB
+        # over the DEFAULT scoped-vmem budget at exactly 512 gather rows
+        # (64 slots x 8 tokens); with the decode_step_compiler_options()
+        # raise that _step_jitted() always applies, the full 64-slot program
+        # compiles and runs (verified on the live v5e, 2026-08-19), so the
+        # fence is gone.
         self.greedy = greedy
         self.params = params
         self.config = config

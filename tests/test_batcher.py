@@ -163,12 +163,13 @@ def test_per_request_constraints_share_batch(setup):
     assert r_after is not None
 
 
-def test_64_slot_fence(setup, monkeypatch):
-    """n_slots=64 crashes this environment's TPU compiler: fenced with an
-    actionable error at construction (repro: tools/repro_64slot_crash.py)."""
+def test_64_slots_construct(setup, monkeypatch):
+    """The rounds-2/3 64-slot construction fence is GONE: the crash was the
+    embed-gather fusion 60 KB over the DEFAULT scoped-vmem budget, and the
+    decode_step_compiler_options() raise _step_jitted() always applies
+    clears it (verified on the live v5e 2026-08-19; history in
+    tools/repro_64slot_crash.py).  Construction must succeed on every
+    backend, including TPU."""
     cfg, params = setup
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    with pytest.raises(ValueError, match="repro_64slot_crash"):
-        ContinuousBatcher(params, cfg, n_slots=64, max_seq=64)
-    monkeypatch.setenv("MIDI_TPU_ALLOW_64_SLOTS", "1")
-    ContinuousBatcher(params, cfg, n_slots=64, max_seq=64)  # escape hatch
+    ContinuousBatcher(params, cfg, n_slots=64, max_seq=64)

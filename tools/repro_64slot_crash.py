@@ -39,16 +39,17 @@ find the smallest failing program:
     python tools/repro_64slot_crash.py                     # full batcher step
     python tools/repro_64slot_crash.py --slots 96          # control: expect ok
 
-If the full step ever prints "ok" at 64 slots, the toolchain fixed it —
-delete the fence in serve/batcher.py (and this script).
+RESOLVED 2026-08-19: the full 64-slot batcher (which always compiles with
+``decode_step_compiler_options()``) printed "ok" on the live v5e — the
+construction fence in serve/batcher.py is deleted.  This script stays as
+the regression probe: if ``--component step`` or the full run ever fails
+again, re-fence and start from the verbatim error above.
 """
 
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-os.environ["MIDI_TPU_ALLOW_64_SLOTS"] = "1"
 
 PS = 64
 PPS = 16  # 1024-event capacity, matching the full-batcher repro
