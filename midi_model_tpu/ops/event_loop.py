@@ -49,8 +49,23 @@ mode differs at f32 epsilon).  Both are below sampling-relevant magnitude;
 greedy streams are asserted identical to the split path in
 tests/test_event_loop.py.
 
+Two token-net residency layouts, chosen by size (prepare_inputs):
+
+- resident (tv2o-medium, ~63 MB): every token-net array is a VMEM input
+  for the whole dispatch;
+- stream_tok_mlp (tv2o-large, whose ~105 MB full residency cannot co-exist
+  with the rotation in the 128 MB VMEM): attention weights + lm_head +
+  embeds (~69 MB) stay resident while each layer's gate|up|down rides the
+  SAME chunk rotation as one packed zero-padded [D, 4D] chunk, re-consumed
+  at every one of the t_max token steps (the stored stream holds them
+  once; the schedule re-reads them, +t_max*t_layers chunks per event).
+  Padding is exact — padded lanes contribute 0.0 to every f32
+  accumulation — so sampled rows stay bit-identical to the resident
+  layout (asserted in tests/test_event_loop.py).
+
 Restrictions (the tv2o family satisfies all): MHA, bf16 weights and pools,
-``num_heads * head_dim == hidden`` (uniform chunk shapes), batch <= 64.
+``num_heads * head_dim == hidden`` (uniform chunk shapes), batch <= 64;
+stream_tok_mlp additionally needs token FFN width <= hidden.
 
 Reference capability: the torch generate loop (/root/reference/
 midi_model.py:167-250) — one Python iteration per TOKEN there; one kernel
@@ -80,7 +95,8 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
         page_size: int, ppcb: int, pages_per_slot: int, n_layers: int,
         eps: float, exact_tail: bool, n_rot: int,
         t_layers: int, t_heads: int, t_head_dim: int, t_max: int,
-        n_events: int, t_eps: float, eos_id: int, greedy: bool):
+        n_events: int, t_eps: float, eos_id: int, greedy: bool,
+        stream_tok: bool):
     (len0_ref, maxk_ref) = args[:2]
     ins = args[2:2 + 28]
     (hid0_ref, chunks_ref, ln_ref, fnorm_ref, cos_e_ref, sin_e_ref,
@@ -102,13 +118,26 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
     scale = head_dim ** -0.5
     bk = ppcb * page_size
     cpl = 1 + 3 * ng                # chunks per layer: qkvo + 3*ng MLP
-    n_chunks = n_e * n_layers * cpl
+    # chunks per EVENT: in stream_tok mode the token net's packed
+    # gate|up|down chunks (one per token layer, re-consumed each of the
+    # t_max steps) lead the event's schedule, then the event-net layers
+    tk = t_max * t_layers if stream_tok else 0
+    cpe = tk + n_layers * cpl
+    n_chunks = n_e * cpe
 
     # ---- weight-chunk rotation ------------------------------------------
     def issue(c):
         @pl.when(c < n_chunks)
         def _():
-            src = jax.lax.rem(c, n_layers * cpl)
+            rc = jax.lax.rem(c, cpe)
+            if stream_tok:
+                # token chunks are stored ONCE after the event chunks and
+                # re-read every step: src cycles over the t_layers entries
+                src = jnp.where(rc < tk,
+                                n_layers * cpl + jax.lax.rem(rc, t_layers),
+                                rc - tk)
+            else:
+                src = rc
             slot = jax.lax.rem(c, n_rot)
             pltpu.make_async_copy(chunks_ref.at[src], wbuf.at[slot],
                                   wsems.at[slot]).start()
@@ -195,10 +224,24 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
                         else outs[0])
                 x = x + _mm(attn, wo_t[li])
                 hm = _rms_norm(x, lnm_t[li:li + 1, :], t_eps)
-                gf = _mm(hm, wg_t[li]).astype(jnp.float32)
-                gated = (gf * jax.nn.sigmoid(gf)).astype(dtype) \
-                    * _mm(hm, wu_t[li])
-                x = x + _mm(gated, wd_t[li])
+                if stream_tok:
+                    # gate|up|down ride the rotation as ONE packed chunk
+                    # (gate cols, up cols, down rows each zero-padded to D:
+                    # padded lanes contribute exact 0.0 to every f32
+                    # accumulation, so rows stay bit-identical to the
+                    # resident path)
+                    cT = e_i * cpe + j * t_layers + li
+                    sg = consume(cT)
+                    gf = _mm(hm, wbuf[sg, :, :d]).astype(jnp.float32)
+                    gated = (gf * jax.nn.sigmoid(gf)).astype(dtype) \
+                        * _mm(hm, wbuf[sg, :, d:2 * d])
+                    x = x + _mm(gated, wbuf[sg, :, 2 * d:3 * d])
+                    issue(cT + n_rot)
+                else:
+                    gf = _mm(hm, wg_t[li]).astype(jnp.float32)
+                    gated = (gf * jax.nn.sigmoid(gf)).astype(dtype) \
+                        * _mm(hm, wu_t[li])
+                    x = x + _mm(gated, wd_t[li])
 
             hf = _rms_norm(x, fnorm_t[...], t_eps)
             logits = _mm(hf, lm_ref[...]).astype(jnp.float32)
@@ -250,7 +293,7 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
         nb = (len_e + bk - 1) // bk      # cache blocks per slot (uniform)
         nbs = jnp.maximum(nb, 1)
         total = b * nb
-        c_base = (e_i * n_layers + li) * cpl
+        c_base = e_i * cpe + tk + li * cpl
 
         x = xs_ref[...]
 
@@ -549,11 +592,15 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
     assert w == d and cfgn.kv_heads == cfgn.num_heads
     assert head_stride(cfgn.head_dim, cfgn.num_heads) == cfgn.head_dim
     l_n = merged["ln"].shape[0]
-    cpl = merged["chunks"].shape[0] // l_n
-    ng = (cpl - 1) // 3
-    dtype = merged["chunks"].dtype
     t_max = cfg.tokenizer.max_token_seq
     tok_cfg = cfg.net_token
+    # placeholder MLP entries mark the streamed-token-MLP layout (the real
+    # gate|up|down chunks are appended to the event-net chunk stream)
+    stream_tok = merged["wg_t"].shape[1] == 1
+    n_stored = merged["chunks"].shape[0]
+    cpl = (n_stored - (tok_cfg.num_layers if stream_tok else 0)) // l_n
+    ng = (cpl - 1) // 3
+    dtype = merged["chunks"].dtype
     n_ev_types = merged["steps"].shape[0] // t_max
 
     from ..models.llama import rope_cos_sin
@@ -579,7 +626,7 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
         n_rot=n_rot, t_layers=tok_cfg.num_layers, t_heads=tok_cfg.num_heads,
         t_head_dim=tok_cfg.head_dim, t_max=t_max, n_events=n_ev_types,
         t_eps=tok_cfg.rms_norm_eps, eos_id=int(cfg.tokenizer.eos_id),
-        greedy=greedy)
+        greedy=greedy, stream_tok=stream_tok)
 
     pool_shape = pools.k.shape
     assert not pools.quantized, "merged kernel serves bf16 pools"
@@ -673,20 +720,54 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
                                   v=v_new.reshape(pool_shape))
 
 
-def prepare_inputs(params: dict, config, masks):
+def _tok_mlp_chunks(params: dict):
+    """Pack each token layer's gate|up|down into ONE uniform [D, 4D] chunk
+    for the weight rotation: gate columns, up columns, and down ROWS each
+    zero-padded from the token FFN width to D (padded lanes multiply
+    through as exact 0.0 in every f32 accumulation, so sampled rows stay
+    bit-identical to the resident path), plus a zero [D, D] filler."""
+    lp = params["net_token"]["layers"]
+    tl, dd, ft = lp["w_gate"].shape
+    assert ft <= dd, "stream_tok needs token FFN width <= hidden"
+    padc = ((0, 0), (0, 0), (0, dd - ft))
+    padr = ((0, 0), (0, dd - ft), (0, 0))
+    return jnp.concatenate(
+        [jnp.pad(lp["w_gate"], padc), jnp.pad(lp["w_up"], padc),
+         jnp.pad(lp["w_down"], padr),
+         jnp.zeros((tl, dd, dd), lp["w_gate"].dtype)], axis=-1)
+
+
+def prepare_inputs(params: dict, config, masks, stream_tok_mlp: bool = None):
     """Everything :func:`merged_decode_events` needs that is loop-invariant:
     the event-net chunk stream (:func:`prepare_merged`) plus the token-net
-    weight arrays and mask tables, keyed exactly like token_loop's inputs."""
+    weight arrays and mask tables, keyed exactly like token_loop's inputs.
+
+    ``stream_tok_mlp`` (default: auto by resident size) moves the token
+    net's gate/up/down out of VMEM residency and into the chunk rotation —
+    what lets tv2o-large's 6-layer token net fit the 128 MB VMEM: its
+    attention weights + lm_head + embeds (~69 MB) stay resident while the
+    36 MB of MLP weights re-stream once per token step.  The mode is
+    encoded in the returned arrays (appended chunks + placeholder MLP
+    entries), so :func:`merged_decode_events` derives it from shapes."""
+    if stream_tok_mlp is None:
+        stream_tok_mlp = _resident_bytes(params) > _RESIDENT_CAP
     merged = prepare_merged(params)
     lp = params["net_token"]["layers"]
     d = params["lm_head"].shape[0]
     dtype = params["lm_head"].dtype
     first, steps_tbl, pad_only = masks
     n_ev, t_max, vocab = steps_tbl.shape
+    if stream_tok_mlp:
+        merged["chunks"] = jnp.concatenate(
+            [merged["chunks"], _tok_mlp_chunks(params).astype(dtype)], axis=0)
+        dummy = jnp.zeros((1, 1, LANE), dtype)
+        wg, wu, wd = dummy, dummy, dummy
+    else:
+        wg, wu, wd = lp["w_gate"], lp["w_up"], lp["w_down"]
     merged.update({
         "wq_t": lp["wq"], "wk_t": lp["wk"], "wv_t": lp["wv"],
-        "wo_t": lp["wo"], "wg_t": lp["w_gate"], "wu_t": lp["w_up"],
-        "wd_t": lp["w_down"], "lna_t": lp["ln_attn"], "lnm_t": lp["ln_mlp"],
+        "wo_t": lp["wo"], "wg_t": wg, "wu_t": wu,
+        "wd_t": wd, "lna_t": lp["ln_attn"], "lnm_t": lp["ln_mlp"],
         "fnorm_t": params["net_token"]["final_norm"].reshape(1, d),
         "lm": params["lm_head"].astype(dtype),
         "emb_t": params["net_token"]["embed"].astype(dtype),
@@ -709,6 +790,9 @@ def set_enabled(v: bool):
     _ENABLED = v
 
 
+_RESIDENT_CAP = 80 << 20
+
+
 def _resident_bytes(params: dict) -> int:
     """Token-net weights + lm_head + both embed tables: what the token
     phase keeps VMEM-resident for the whole dispatch."""
@@ -717,18 +801,29 @@ def _resident_bytes(params: dict) -> int:
     return sum(int(np.prod(x.shape)) * x.dtype.itemsize for x in leaves)
 
 
+def _mlp_bytes(params: dict) -> int:
+    lp = params["net_token"]["layers"]
+    return sum(int(np.prod(lp[n].shape)) * lp[n].dtype.itemsize
+               for n in ("w_gate", "w_up", "w_down"))
+
+
 def usable(params: dict, config, pools: PagedPools) -> bool:
     """TPU serving configuration: bf16 weights + pools, MHA, hidden ==
-    heads*head_dim (uniform chunk shapes), and a token net whose resident
-    footprint leaves room for the weight rotation + cache stream in the
-    128 MB VMEM (tv2o-medium: ~63 MB resident, fits easily; tv2o-large's
-    6-layer token net is ~105 MB and does NOT — large keeps the round-3
-    kernel pair)."""
+    heads*head_dim (uniform chunk shapes), and a token net that fits the
+    128 MB VMEM next to the weight rotation + cache stream — either fully
+    resident (tv2o-medium: ~63 MB) or with its MLP streamed through the
+    chunk rotation (stream_tok_mlp: tv2o-large's 6-layer token net is
+    ~105 MB resident but ~69 MB once gate/up/down ride the stream)."""
     cfgn = config.net
+    res = _resident_bytes(params)
+    tok_fits = (res <= _RESIDENT_CAP
+                or (config.net_token.intermediate_size
+                    <= config.net_token.hidden_size
+                    and res - _mlp_bytes(params) <= _RESIDENT_CAP))
     return (_ENABLED and jax.default_backend() == "tpu"
             and params["lm_head"].dtype == jnp.bfloat16
             and not pools.quantized
             and cfgn.kv_heads == cfgn.num_heads
             and cfgn.num_heads * cfgn.head_dim == cfgn.hidden_size
             and head_stride(cfgn.head_dim, cfgn.num_heads) == cfgn.head_dim
-            and _resident_bytes(params) <= 80 << 20)
+            and tok_fits)

@@ -33,6 +33,7 @@ jits lazily and ask here at first call.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 SCOPED_VMEM_KIB = 49152  # 48 MB: the observed 42.25 M demand + headroom
@@ -40,9 +41,16 @@ SCOPED_VMEM_KIB = 49152  # 48 MB: the observed 42.25 M demand + headroom
 
 def decode_step_compiler_options() -> Optional[dict]:
     """Compiler options for jits that co-compile the decode Pallas kernels
-    under a long scan — ``None`` off-TPU (the option is TPU-specific)."""
+    under a long scan — ``None`` off-TPU (the option is TPU-specific).
+
+    ``MIDI_TPU_SCOPED_VMEM_KIB`` overrides the default raise — an ops /
+    probe knob (tools/probe_scoped_drift.py sweeps it to isolate how the
+    program-level scoped default shifts XLA's fusion sizing in the
+    latency-bound 32-slot batcher program)."""
     import jax
 
     if jax.default_backend() == "tpu":
-        return {"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_KIB)}
+        kib = int(os.environ.get("MIDI_TPU_SCOPED_VMEM_KIB",
+                                 SCOPED_VMEM_KIB))
+        return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
     return None

@@ -47,8 +47,13 @@ def _state(cfg, params, b, max_seq):
     return prefill(params, cfg, prompt, max_seq)
 
 
+@pytest.mark.parametrize("stream_tok", [False, True])
 @pytest.mark.parametrize("greedy", [True, False])
-def test_merged_matches_kernel_pair(setup, greedy):
+def test_merged_matches_kernel_pair(setup, greedy, stream_tok):
+    """stream_tok=True forces the tv2o-large layout: the token net's
+    gate/up/down ride the weight rotation as packed zero-padded chunks
+    (here FFN width < hidden, so the padding path is exercised); rows must
+    stay bit-identical to the resident layout."""
     cfg, params = setup
     b, n_ev = 4, 4
     state = _state(cfg, params, b, 64)
@@ -86,7 +91,8 @@ def test_merged_matches_kernel_pair(setup, greedy):
             jnp.arange(n_ev))
         gumbel = jax.vmap(lambda k2: jax.random.gumbel(
             k2, (t_max * b, event_loop.K_CAP), jnp.float32))(keys)
-    merged = event_loop.prepare_inputs(params, cfg, masks)
+    merged = event_loop.prepare_inputs(params, cfg, masks,
+                                       stream_tok_mlp=stream_tok)
     rows, xout, pools = event_loop.merged_decode_events(
         merged, cfg, state.hidden, state.pools, state.cur_len, temp, top_p,
         top_k, gumbel, page_size=ps, pages_per_slot=pps, n_events=n_ev,

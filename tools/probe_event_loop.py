@@ -23,7 +23,7 @@ BATCH = 32
 MAX_EVENTS = 1024
 
 
-def measure(tag, model="tv2o-medium"):
+def measure(tag, model="tv2o-medium", max_events=None):
     import jax
     import jax.numpy as jnp
 
@@ -34,6 +34,7 @@ def measure(tag, model="tv2o-medium"):
                                                   normalize_prompt)
 
     _decode_events_jitted.cache_clear()  # re-trace under the current toggles
+    max_events = max_events or MAX_EVENTS
     config = MIDIModelConfig.from_name(model)
     params = midinet.init_params(jax.random.PRNGKey(0), config,
                                  dtype=jnp.bfloat16)
@@ -42,9 +43,9 @@ def measure(tag, model="tv2o-medium"):
     key = jax.random.PRNGKey(42)
 
     def run():
-        state = prefill(params, config, prompt, 1 + MAX_EVENTS)
+        state = prefill(params, config, prompt, 1 + max_events)
         state, rows, n = decode_events(params, config, state, masks,
-                                       MAX_EVENTS, 1.0, 0.98, 20, key)
+                                       max_events, 1.0, 0.98, 20, key)
         return int(n)
 
     t0 = time.time()
@@ -67,6 +68,8 @@ def main():
     args = sys.argv[1:]
     model = next((a.split("=")[1] for a in args
                   if a.startswith("--model=")), "tv2o-medium")
+    n_ev = next((int(a.split("=")[1]) for a in args
+                 if a.startswith("--events=")), None)
     e_only = next((int(a.split("=")[1]) for a in args
                    if a.startswith("--e=")), None)
     rot = next((int(a.split("=")[1]) for a in args
@@ -79,11 +82,11 @@ def main():
     if e_only is not None or rot is not None:
         if e_only is not None:
             event_loop.EVENTS_PER_DISPATCH = e_only
-        measure(f"merged-E{e_only or 8}-R{rot or 8}", model)
+        measure(f"merged-E{e_only or 8}-R{rot or 8}", model, n_ev)
         return
-    measure("merged-E8", model)
+    measure("merged-E8", model, n_ev)
     event_loop.set_enabled(False)
-    measure("split-r3", model)
+    measure("split-r3", model, n_ev)
 
 
 if __name__ == "__main__":
