@@ -82,6 +82,32 @@ def main():
         pf_times.append(time.time() - t0)
     pf_ms = float(np.median(pf_times)) * 1e3
 
+    # Continuous-batcher steady-state guard (the PRODUCTION TPU serving
+    # default since round 4, serve/app.py resolve_batcher_slots): per-step
+    # timing at full occupancy, tools/bench_batcher.py --steady semantics.
+    # Round 4 shipped a ~10% regression on the 32-slot default invisibly
+    # because this number was not in the driver JSON (VERDICT r4 weakness 1).
+    def batcher_steady(n_slots, chunk=32, steps=6):
+        from midi_model_tpu.serve.batcher import ContinuousBatcher
+
+        b = ContinuousBatcher(params, config, n_slots=n_slots, max_seq=512,
+                              chunk=chunk, disable_eos=True)
+        p0 = np.full((1, tokenizer.max_token_seq), tokenizer.pad_id, np.int32)
+        p0[0, 0] = tokenizer.bos_id
+        for _ in range(n_slots):
+            b.submit(p0, max_events=10**9)
+        b.step()  # compile + first chunk
+        times = []
+        for _ in range(steps):
+            t0 = time.perf_counter()
+            b.step()
+            times.append(time.perf_counter() - t0)
+        del b
+        return n_slots * chunk / min(times)
+
+    batcher32 = batcher_steady(32)
+    batcher128 = batcher_steady(128)
+
     print(json.dumps({
         "metric": "tv2o-medium batched generation (bs=32, 1024 events, top-p/k)",
         "value": round(best, 2),  # best-of-4 (comparable to prior rounds)
@@ -90,6 +116,8 @@ def main():
         "unit": "events/sec",
         "vs_baseline": round(best / REFERENCE_EVENTS_PER_SEC, 2),
         "prefill_bs32_p2048_ms": round(pf_ms, 1),
+        "batcher32_ev_s": round(batcher32, 1),
+        "batcher128_ev_s": round(batcher128, 1),
     }))
 
 

@@ -574,7 +574,7 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
                          gumbel: jax.Array, *, page_size: int,
                          pages_per_slot: int, n_events: int,
                          ppcb: int = 4, greedy: bool = False,
-                         exact_tail: bool = None, n_rot: int = 4,
+                         exact_tail: bool = True, n_rot: int = 4,
                          interpret: bool = False):
     """Decode ``n_events`` full event rows in ONE kernel dispatch.
 
@@ -588,6 +588,9 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
     """
     cfgn = cfg.net
     b, d = hidden.shape
+    assert b <= 64, (
+        f"merged event-loop kernel supports batch <= 64, got {b} "
+        "(per-slot flash loops are unrolled; use the split path above)")
     w = cfgn.num_heads * cfgn.head_dim
     assert w == d and cfgn.kv_heads == cfgn.num_heads
     assert head_stride(cfgn.head_dim, cfgn.num_heads) == cfgn.head_dim
@@ -616,8 +619,6 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
     cos_t, sin_t = rope_cos_sin(jnp.arange(t_max), tok_cfg.head_dim,
                                 tok_cfg.rope_theta)
 
-    if exact_tail is None:
-        exact_tail = True  # grid program size is layer-count independent
     kernel = functools.partial(
         _event_loop_kernel, batch=b, num_heads=cfgn.num_heads,
         head_dim=cfgn.head_dim, hidden=d, ng=ng,

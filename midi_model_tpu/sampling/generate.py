@@ -49,6 +49,12 @@ class GenState(NamedTuple):
     Pallas kernel streams cache reads at ~85% of HBM peak (~2x the dense XLA
     path). With ``kv_int8`` the pools store int8 pages + per-token-per-head
     scales: cache-read traffic (the decode bottleneck) halves again.
+
+    INVARIANT: when ``all_eos`` is True, ``hidden`` is UNDEFINED (the merged
+    whole-event-loop kernel may have advanced it past the all-eos event, and
+    the pools may hold speculated appends beyond ``cur_len``).  Every caller
+    terminates on ``all_eos``; a future resume/ignore-eos path must
+    recompute ``hidden`` from the kept prefix before decoding further.
     """
 
     pools: "object"  # ops.paged_allheads.PagedPools (layer axis folded)
@@ -374,28 +380,30 @@ def _decode_events_impl(params, config: MIDIModelConfig, state: GenState,
     return state, rows, n_done
 
 
-@functools.lru_cache(maxsize=1)
-def _decode_events_jitted():
+@functools.lru_cache(maxsize=4)
+def _decode_events_jitted(backend: str):
     """Lazily jitted ``_decode_events_impl`` with the TPU scoped-VMEM raise
     (utils/xla_opts.py): at 24 layers XLA's custom-fusion cloning drops the
     token-row kernel's explicit vmem limit and the 16 MB program default
-    rejects the program.  Created per-backend at first call — other
-    backends reject the TPU-specific compile option."""
+    rejects the program.  Keyed on the backend name — other backends reject
+    the TPU-specific compile option, and a test that flips
+    ``jax.default_backend()`` must not inherit a stale TPU jit."""
     from ..utils.xla_opts import decode_step_compiler_options
 
+    opts = decode_step_compiler_options() if backend == "tpu" else None
     return jax.jit(_decode_events_impl,
                    static_argnames=("config", "n_events_chunk", "greedy",
                                     "tp_axis"),
                    donate_argnums=(2,),
-                   compiler_options=decode_step_compiler_options())
+                   compiler_options=opts)
 
 
 def decode_events(params, config, state, masks, n_events_chunk, temp, top_p,
                   top_k, key, greedy: bool = False, tp_axis: str = None):
     """See :func:`_decode_events_impl` — jit-dispatched wrapper."""
-    return _decode_events_jitted()(params, config, state, masks,
-                                   n_events_chunk, temp, top_p, top_k, key,
-                                   greedy=greedy, tp_axis=tp_axis)
+    return _decode_events_jitted(jax.default_backend())(
+        params, config, state, masks, n_events_chunk, temp, top_p, top_k,
+        key, greedy=greedy, tp_axis=tp_axis)
 
 
 def normalize_prompt(tokenizer, prompt: Optional[np.ndarray], batch_size: int,

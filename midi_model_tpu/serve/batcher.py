@@ -259,24 +259,26 @@ def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
     return (pools, index, hidden), jnp.transpose(rows, (1, 0, 2))
 
 
-@functools.lru_cache(maxsize=1)
-def _step_jitted():
+@functools.lru_cache(maxsize=4)
+def _step_jitted(backend: str):
     """Lazily jitted ``_step_impl`` with the scoped-VMEM raise on TPU —
     the serving chunk (32) is exactly the scan length at which XLA's
     custom-fusion cloning drops the Pallas kernels' explicit vmem limits
-    (utils/xla_opts.py has the full story); off-TPU backends reject the
-    option, so the jit is created per-backend at first call."""
+    (utils/xla_opts.py has the full story).  Keyed on the backend name:
+    off-TPU backends reject the TPU-specific option, and a process that
+    mixes backends (tests) must not inherit a stale jit."""
     from ..utils.xla_opts import decode_step_compiler_options
 
+    opts = decode_step_compiler_options() if backend == "tpu" else None
     return jax.jit(_step_impl, donate_argnums=(2,),
                    static_argnames=("config", "chunk", "greedy",
                                     "page_size", "pages_per_slot",
                                     "token_kernel_ok"),
-                   compiler_options=decode_step_compiler_options())
+                   compiler_options=opts)
 
 
 def _step(*args, **kwargs):
-    return _step_jitted()(*args, **kwargs)
+    return _step_jitted(jax.default_backend())(*args, **kwargs)
 
 
 def _pool_specs(quantized: bool, tp: bool = False):

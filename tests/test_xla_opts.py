@@ -31,5 +31,8 @@ def test_lazy_jits_build_off_tpu():
     from midi_model_tpu.serve.batcher import _step_jitted
     from midi_model_tpu.sampling.generate import _decode_events_jitted
 
-    assert _step_jitted() is _step_jitted()  # cached
-    assert _decode_events_jitted() is _decode_events_jitted()
+    # cached per backend: a process that mixes backends (tests monkeypatch
+    # jax.default_backend) must not inherit a stale TPU jit (ADVICE r4)
+    assert _step_jitted("cpu") is _step_jitted("cpu")
+    assert _decode_events_jitted("cpu") is _decode_events_jitted("cpu")
+    assert _decode_events_jitted("tpu") is not _decode_events_jitted("cpu")
