@@ -96,19 +96,37 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
         eps: float, exact_tail: bool, n_rot: int,
         t_layers: int, t_heads: int, t_head_dim: int, t_max: int,
         n_events: int, t_eps: float, eos_id: int, greedy: bool,
-        stream_tok: bool):
-    (len0_ref, maxk_ref) = args[:2]
-    ins = args[2:2 + 28]
+        stream_tok: bool, ragged: bool = False):
+    if ragged:
+        # per-slot geometry: the continuous batcher's slots have different
+        # history lengths and retire independently.  The flat slot-major
+        # (slot, block) work tables are precomputed by the wrapper from
+        # CONSERVATIVE lengths (len0 + E): blocks beyond a slot's current
+        # length are exact no-ops (scores masked to -inf before the
+        # softmax), so ONE table serves all E events of the dispatch.
+        (len0_ref, maxk_ref, slot_tbl, blk_tbl, pages_tbl, nbt_ref,
+         total_ref) = args[:7]
+        ns = 7
+    else:
+        (len0_ref, maxk_ref) = args[:2]
+        ns = 2
+    n_in = 31 if ragged else 28
+    ins = args[ns:ns + n_in]
     (hid0_ref, chunks_ref, ln_ref, fnorm_ref, cos_e_ref, sin_e_ref,
      temp_ref, topp_ref, topk_ref,
      wq_t, wk_t, wv_t, wo_t, wg_t, wu_t, wd_t, lna_t, lnm_t, fnorm_t,
      lm_ref, embt_ref, embn_ref, first_ref, steps_ref, pad_ref,
-     cos_t_ref, sin_t_ref, gum_ref) = ins
-    k_pool_ref, v_pool_ref = args[2 + 28], args[2 + 29]
+     cos_t_ref, sin_t_ref, gum_ref) = ins[:28]
+    if ragged:
+        active0_ref, lens0v_ref, allow_ref = ins[28:31]
+    k_pool_ref, v_pool_ref = args[ns + n_in], args[ns + n_in + 1]
+    outs = args[ns + n_in + 2:]
     (rows_ref, xout_ref,
      k_out_ref, v_out_ref,
      xs_ref, g_ref, wbuf, wsems, kbuf, vbuf, csems,
-     kwbuf, vwbuf, rmwsem, accs_ref, ms_ref, ls_ref, work_ref) = args[2 + 30:]
+     kwbuf, vwbuf, rmwsem, accs_ref, ms_ref, ls_ref, work_ref) = outs[:18]
+    alive_ref = outs[18] if ragged else None
+    capacity = page_size * pages_per_slot
 
     b, d, w = batch, hidden, num_heads * head_dim
     e_i = pl.program_id(0)
@@ -164,7 +182,10 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
         def _():
             for c0 in range(n_rot):
                 issue(c0)
+            if ragged:
+                alive_ref[...] = active0_ref[...]
 
+        alive_b = (alive_ref[...] > 0) if ragged else None  # [B, 1]
         v_voc = lm_ref.shape[-1]
         temp = temp_ref[...]
         top_p = topp_ref[...]
@@ -256,10 +277,20 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
                 mask = jnp.dot(e_onehot.astype(jnp.bfloat16),
                                step_tbl.astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32)
-            if j > 0:
+            if j > 0 or ragged:
                 pad_mask = jnp.broadcast_to(pad_ref[...], (b, v_voc))
+            if j > 0:
                 mask = jnp.where(ended, pad_mask, mask)
+            if ragged:
+                # retired slots emit pad rows at every step (the split
+                # path's forced_pad; the host reads row[0]==pad as
+                # "device-retired earlier in the chunk")
+                mask = jnp.where(alive_b, mask, pad_mask)
             probs = probs * mask
+            if ragged:
+                # per-slot constraint plane (instrument/channel bans share
+                # the batch; 0/1 in bf16 is exact — token_loop.py semantics)
+                probs = probs * allow_ref[...].astype(jnp.float32)
 
             g_step = gum_ref[0, j * b:(j + 1) * b, :]
             tok = _sample(probs, g_step, work_ref, top_p, top_k, max_k,
@@ -280,7 +311,15 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
                 x = jnp.dot(onehot, embt_ref[...],
                             preferred_element_type=jnp.float32).astype(dtype)
 
-        xs_ref[...] = ev_acc.astype(dtype)
+        if ragged:
+            # retired slots keep their residual FROZEN at its retirement
+            # value (the split path's hidden freeze); slots dead at entry
+            # get zeros at e==0 so the scratch never leaks garbage/NaN into
+            # the (unused but computed) dead-slot math
+            base = jnp.where(e_i == 0, jnp.zeros((b, d), dtype), xs_ref[...])
+            xs_ref[...] = jnp.where(alive_b, ev_acc.astype(dtype), base)
+        else:
+            xs_ref[...] = ev_acc.astype(dtype)
 
     # ======================================================================
     # phases 1..L: event-net layer (fused_step.py semantics, uniform length)
@@ -288,14 +327,22 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
     @pl.when(p_i > 0)
     def _layer_phase():
         li = p_i - 1
-        len_e = len0_ref[0] + e_i        # history length for this event
-        wpos = len_e                     # append position (wrapper-clipped)
-        nb = (len_e + bk - 1) // bk      # cache blocks per slot (uniform)
-        nbs = jnp.maximum(nb, 1)
-        total = b * nb
+        if ragged:
+            # per-slot lengths len0_ref[s] + e_i (exact while a slot is
+            # alive; retired slots' outputs are frozen out below, so their
+            # drifted geometry is unobservable); block counts/sizes come
+            # from the conservative prefetched work tables
+            total = total_ref[0]
+        else:
+            len_e = len0_ref[0] + e_i    # history length for this event
+            wpos = len_e                 # append position (wrapper-clipped)
+            nb = (len_e + bk - 1) // bk  # cache blocks per slot (uniform)
+            nbs = jnp.maximum(nb, 1)
+            total = b * nb
         c_base = e_i * cpe + tk + li * cpl
 
-        x = xs_ref[...]
+        x0 = xs_ref[...]
+        x = x0
 
         # ---- qkv + RoPE (wide weight chunk: q|k|v|o one DMA) -------------
         h = _rms_norm(x, ln_ref[0, 0:1], eps)
@@ -323,35 +370,63 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
         qsb = qs32.astype(dtype)
 
         # ---- fresh-row RMW append: start the tile reads now --------------
-        wbase = pl.multiple_of((wpos % page_size) // RMW_ROWS * RMW_ROWS,
-                               RMW_ROWS)
+        if ragged:
+            # per-slot write positions -> per-slot tile DMAs (the uniform
+            # one-strided-DMA trick needs equal page/offset across slots;
+            # per-slot issues measured ~0.5% on the aligned kernel, r3)
+            def wtile_s(ref, s):
+                wp = jnp.minimum(len0_ref[s] + e_i, capacity - 1)
+                wb = pl.multiple_of(
+                    (wp % page_size) // RMW_ROWS * RMW_ROWS, RMW_ROWS)
+                return ref.at[li * batch + s, wp // page_size,
+                              pl.ds(wb, RMW_ROWS)]
 
-        def wtile_all(ref):
-            return ref.at[pl.ds(li * batch, batch), wpos // page_size,
-                          pl.ds(wbase, RMW_ROWS)]
+            def start_rmw_in(s, _):
+                pltpu.make_async_copy(wtile_s(k_out_ref, s), kwbuf.at[s],
+                                      rmwsem.at[s, 0]).start()
+                pltpu.make_async_copy(wtile_s(v_out_ref, s), vwbuf.at[s],
+                                      rmwsem.at[s, 1]).start()
+                return 0
 
-        pltpu.make_async_copy(wtile_all(k_out_ref), kwbuf,
-                              rmwsem.at[0, 0]).start()
-        pltpu.make_async_copy(wtile_all(v_out_ref), vwbuf,
-                              rmwsem.at[0, 1]).start()
+            jax.lax.fori_loop(0, b, start_rmw_in, 0)
+        else:
+            wbase = pl.multiple_of(
+                (wpos % page_size) // RMW_ROWS * RMW_ROWS, RMW_ROWS)
+
+            def wtile_all(ref):
+                return ref.at[pl.ds(li * batch, batch), wpos // page_size,
+                              pl.ds(wbase, RMW_ROWS)]
+
+            pltpu.make_async_copy(wtile_all(k_out_ref), kwbuf,
+                                  rmwsem.at[0, 0]).start()
+            pltpu.make_async_copy(wtile_all(v_out_ref), vwbuf,
+                                  rmwsem.at[0, 1]).start()
 
         # ---- paged flash attention over the cached history ---------------
-        def blk_pages(i):
-            need = ((len_e + page_size - 1) // page_size
-                    - jax.lax.rem(i, nbs) * ppcb)
-            return jnp.clip(need, 1, ppcb)
+        if ragged:
+            def blk_geom(i):
+                # one SMEM load each: flat work tables (slot-major)
+                return (slot_tbl[i], blk_tbl[i] * ppcb, pages_tbl[i])
+        else:
+            def blk_geom(i):
+                need = ((len_e + page_size - 1) // page_size
+                        - jax.lax.rem(i, nbs) * ppcb)
+                return (i // nbs, jax.lax.rem(i, nbs) * ppcb,
+                        jnp.clip(need, 1, ppcb))
 
         def _sized(kp, kk, body):
-            if exact_tail:
+            if exact_tail or ragged:
                 pl.when(kp == kk)(body)
             else:
                 body()
 
         def copy_block(i, slot):
-            row = li * batch + i // nbs
-            blk0 = jax.lax.rem(i, nbs) * ppcb
-            kp = blk_pages(i) if exact_tail else ppcb
-            for kk in (range(1, ppcb + 1) if exact_tail else (ppcb,)):
+            s_i, blk0, kp = blk_geom(i)
+            row = li * batch + s_i
+            if not (exact_tail or ragged):
+                kp = ppcb
+            for kk in (range(1, ppcb + 1) if exact_tail or ragged
+                       else (ppcb,)):
                 def body(kk=kk):
                     # stream from the OUTPUT refs: aliased to the input
                     # pools on hardware, and earlier events' in-dispatch
@@ -364,8 +439,11 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
                 _sized(kp, kk, body)
 
         def wait_block(i, slot):
-            kp = blk_pages(i) if exact_tail else ppcb
-            for kk in (range(1, ppcb + 1) if exact_tail else (ppcb,)):
+            kp = blk_geom(i)[2]
+            if not (exact_tail or ragged):
+                kp = ppcb
+            for kk in (range(1, ppcb + 1) if exact_tail or ragged
+                       else (ppcb,)):
                 def body(kk=kk):
                     for jj, (src, dst) in enumerate(
                             ((k_out_ref, kbuf), (v_out_ref, vbuf))):
@@ -390,11 +468,18 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
         def _():
             copy_block(1, 1)
 
+        i0 = jnp.zeros((), jnp.int32)
         for s in range(b):
             q_rowb = qsb[s:s + 1, :].astype(jnp.float32)
-            i0 = s * nb
+            if ragged:
+                nb_s = nbt_ref[s]          # conservative (== the table's)
+                len_s = len0_ref[s] + e_i  # exact while the slot is alive
+            else:
+                nb_s = nb
+                len_s = len_e
+                i0 = s * nb
 
-            def blk_loop(j, carry, i0=i0, q_rowb=q_rowb):
+            def blk_loop(j, carry, i0=i0, q_rowb=q_rowb, len_s=len_s):
                 acc, m, l = carry
                 i = i0 + j
                 slot = jax.lax.rem(i, 3)
@@ -410,16 +495,21 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
                                  preferred_element_type=jnp.float32)
                 row = j * bk + jax.lax.broadcasted_iota(jnp.int32,
                                                         sc.shape, 0)
-                sc = jnp.where(row < len_e, sc, -jnp.inf)
+                sc = jnp.where(row < len_s, sc, -jnp.inf)
                 block_m = jnp.max(sc, axis=0)[:, None]
                 m_new = jnp.maximum(m, block_m)
                 alpha = jnp.exp(m - m_new)
                 acc = acc * alpha
                 l = l * alpha
                 pexp = jnp.exp(sc - m_new.T)
+                if ragged:
+                    # conservative blocks can be ALL-masked (m_new still
+                    # -inf): exp(-inf - -inf) = NaN — re-mask like the
+                    # streaming kernel (exact: pexp is 0 on live geometry)
+                    pexp = jnp.where(row < len_s, pexp, 0.0)
                 l = l + jnp.sum(pexp, axis=0)[:, None]
                 v_blk = vbuf[slot].reshape(bk, w)
-                v_blk = jnp.where(row[:, :1] < len_e, v_blk,
+                v_blk = jnp.where(row[:, :1] < len_s, v_blk,
                                   jnp.zeros_like(v_blk))
                 acc = acc + jax.lax.dot(
                     pexp.astype(v_blk.dtype), v_blk,
@@ -430,10 +520,12 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
             init = (jnp.zeros((num_heads, w), jnp.float32),
                     jnp.full((num_heads, 1), -jnp.inf, jnp.float32),
                     jnp.zeros((num_heads, 1), jnp.float32))
-            acc, m, l = jax.lax.fori_loop(0, nb, blk_loop, init)
+            acc, m, l = jax.lax.fori_loop(0, nb_s, blk_loop, init)
             accs_ref[s] = acc
             ms_ref[s:s + 1, :] = m.T
             ls_ref[s:s + 1, :] = l.T
+            if ragged:
+                i0 = i0 + nb_s
 
         # ---- batched self-term merge (fused_step.py math) ----------------
         acc2d = accs_ref[...].reshape(b * num_heads, w)
@@ -487,34 +579,90 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
                     preferred_element_type=jnp.float32)
             issue(c_base + 1 + 2 * ng + gi + n_rot)
         x = x + out.astype(dtype)
+        if ragged:
+            alive_b = alive_ref[...] > 0  # [B, 1], pre-event value
+            x = jnp.where(alive_b, x, x0)  # freeze retired slots' residual
         xs_ref[...] = x
 
         @pl.when((e_i == n_e - 1) & (li == n_layers - 1))
         def _():
             xout_ref[...] = x
 
-        # ---- finish the RMW append (uniform: one strided DMA per tensor) -
-        off0 = wpos % page_size - wbase
-        selr = jax.lax.broadcasted_iota(
-            jnp.int32, (b, RMW_ROWS, w), 1) == off0
-        pltpu.make_async_copy(wtile_all(k_out_ref), kwbuf,
-                              rmwsem.at[0, 0]).wait()
-        kwbuf[...] = jnp.where(
-            selr, jnp.broadcast_to(kr[:, None, :], (b, RMW_ROWS, w)),
-            kwbuf[...])
-        pltpu.make_async_copy(kwbuf, wtile_all(k_out_ref),
-                              rmwsem.at[0, 0]).start()
-        pltpu.make_async_copy(wtile_all(v_out_ref), vwbuf,
-                              rmwsem.at[0, 1]).wait()
-        vwbuf[...] = jnp.where(
-            selr, jnp.broadcast_to(v[:, None, :], (b, RMW_ROWS, w)),
-            vwbuf[...])
-        pltpu.make_async_copy(vwbuf, wtile_all(v_out_ref),
-                              rmwsem.at[0, 1]).start()
-        pltpu.make_async_copy(kwbuf, wtile_all(k_out_ref),
-                              rmwsem.at[0, 0]).wait()
-        pltpu.make_async_copy(vwbuf, wtile_all(v_out_ref),
-                              rmwsem.at[0, 1]).wait()
+        if ragged:
+            # ---- finish the RMW append (per-slot tiles) -------------------
+            def wait_rmw_in(s, _):
+                pltpu.make_async_copy(wtile_s(k_out_ref, s), kwbuf.at[s],
+                                      rmwsem.at[s, 0]).wait()
+                pltpu.make_async_copy(wtile_s(v_out_ref, s), vwbuf.at[s],
+                                      rmwsem.at[s, 1]).wait()
+                return 0
+
+            jax.lax.fori_loop(0, b, wait_rmw_in, 0)
+            # per-slot in-tile offset (RMW_ROWS divides page_size, so
+            # offset-in-tile == wpos mod RMW_ROWS); retired slots blend
+            # NOTHING — their tile writes back byte-identical
+            wpv = jnp.minimum(lens0v_ref[...] + e_i, capacity - 1)  # [B, 1]
+            offv = jax.lax.rem(wpv, RMW_ROWS)[:, :, None]           # [B,1,1]
+            selr = (jax.lax.broadcasted_iota(
+                jnp.int32, (b, RMW_ROWS, w), 1) == offv) \
+                & alive_b[:, :, None]
+            kwbuf[...] = jnp.where(
+                selr, jnp.broadcast_to(kr[:, None, :], (b, RMW_ROWS, w)),
+                kwbuf[...])
+            vwbuf[...] = jnp.where(
+                selr, jnp.broadcast_to(v[:, None, :], (b, RMW_ROWS, w)),
+                vwbuf[...])
+
+            def start_rmw_out(s, _):
+                pltpu.make_async_copy(kwbuf.at[s], wtile_s(k_out_ref, s),
+                                      rmwsem.at[s, 0]).start()
+                pltpu.make_async_copy(vwbuf.at[s], wtile_s(v_out_ref, s),
+                                      rmwsem.at[s, 1]).start()
+                return 0
+
+            def wait_rmw_out(s, _):
+                pltpu.make_async_copy(kwbuf.at[s], wtile_s(k_out_ref, s),
+                                      rmwsem.at[s, 0]).wait()
+                pltpu.make_async_copy(vwbuf.at[s], wtile_s(v_out_ref, s),
+                                      rmwsem.at[s, 1]).wait()
+                return 0
+
+            jax.lax.fori_loop(0, b, start_rmw_out, 0)
+            jax.lax.fori_loop(0, b, wait_rmw_out, 0)
+
+            # ---- retirement: the eos row itself went through the event
+            # net (split-path parity); nothing after it does.  Updated at
+            # the LAST layer phase so every phase of event e saw the
+            # pre-event alive/lengths.
+            @pl.when(li == n_layers - 1)
+            def _():
+                tok0 = rows_ref[0, :, 0:1]  # [B, 1] i32
+                new_len = lens0v_ref[...] + e_i + 1
+                alive_new = alive_b & (tok0 != eos_id) & (new_len < capacity)
+                alive_ref[...] = alive_new.astype(jnp.int32)
+        else:
+            # ---- finish the RMW append (uniform: one strided DMA each) ---
+            off0 = wpos % page_size - wbase
+            selr = jax.lax.broadcasted_iota(
+                jnp.int32, (b, RMW_ROWS, w), 1) == off0
+            pltpu.make_async_copy(wtile_all(k_out_ref), kwbuf,
+                                  rmwsem.at[0, 0]).wait()
+            kwbuf[...] = jnp.where(
+                selr, jnp.broadcast_to(kr[:, None, :], (b, RMW_ROWS, w)),
+                kwbuf[...])
+            pltpu.make_async_copy(kwbuf, wtile_all(k_out_ref),
+                                  rmwsem.at[0, 0]).start()
+            pltpu.make_async_copy(wtile_all(v_out_ref), vwbuf,
+                                  rmwsem.at[0, 1]).wait()
+            vwbuf[...] = jnp.where(
+                selr, jnp.broadcast_to(v[:, None, :], (b, RMW_ROWS, w)),
+                vwbuf[...])
+            pltpu.make_async_copy(vwbuf, wtile_all(v_out_ref),
+                                  rmwsem.at[0, 1]).start()
+            pltpu.make_async_copy(kwbuf, wtile_all(k_out_ref),
+                                  rmwsem.at[0, 0]).wait()
+            pltpu.make_async_copy(vwbuf, wtile_all(v_out_ref),
+                                  rmwsem.at[0, 1]).wait()
 
 
 def prepare_merged(params: dict):
@@ -715,6 +863,200 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
         merged["lm"], merged["emb_t"], merged["emb_net"],
         merged["first"], merged["steps"], merged["pad_only"],
         cos_t, sin_t, gumbel, k4, v4,
+    )
+    rows, xout, k_new, v_new = outs
+    return rows, xout, PagedPools(k=k_new.reshape(pool_shape),
+                                  v=v_new.reshape(pool_shape))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "page_size", "pages_per_slot", "n_events", "ppcb", "greedy",
+    "n_rot", "interpret"))
+def merged_decode_ragged(merged: dict, cfg, hidden: jax.Array,
+                         pools: PagedPools, index, active, allow,
+                         temp, top_p, top_k, gumbel: jax.Array, *,
+                         page_size: int, pages_per_slot: int, n_events: int,
+                         ppcb: int = 4, greedy: bool = False, n_rot: int = 4,
+                         interpret: bool = False):
+    """Ragged (continuous-batching) variant of :func:`merged_decode_events`:
+    per-slot history lengths, per-slot retirement (eos / cache capacity),
+    per-slot sampling knobs + constraint planes + seed streams.
+
+    index [B] i32: per-slot history length at chunk start; active [B] bool:
+    host-side slot occupancy (inactive slots emit pad rows and are skipped
+    by the cache stream); allow [B, V]: 0/1 constraint plane (all-ones for
+    unconstrained); gumbel [E, t_max*B, K_CAP]: per-slot per-position draw
+    streams (the caller derives them from fold_in(PRNGKey(seed_s),
+    index_s + e) — a slot's stream depends only on its request's seed and
+    its sequence position, batcher seed semantics).
+
+    Returns (rows [E, B, T] i32, xout [B, D], pools).  Semantics match
+    serve/batcher._step_impl's split scan slot-for-slot: the eos row itself
+    goes through the event net, nothing after it does; retired slots emit
+    pad rows, stop appending, and keep their residual frozen (xout for a
+    slot that was ALREADY inactive at entry is zeros — unobservable, the
+    batcher overwrites hidden on admission).  The new per-slot index is
+    derivable host-side as ``index + sum_e(rows[e, :, 0] != pad_id)``.
+
+    Reference capability: concurrent gradio sessions over the torch
+    generate loop (/root/reference/app.py:27-120, :496) — here one kernel
+    dispatch advances every live session by ``n_events`` events.
+    """
+    cfgn = cfg.net
+    b, d = hidden.shape
+    assert b <= 64, f"ragged merged kernel supports <= 64 slots, got {b}"
+    w = cfgn.num_heads * cfgn.head_dim
+    assert w == d and cfgn.kv_heads == cfgn.num_heads
+    assert head_stride(cfgn.head_dim, cfgn.num_heads) == cfgn.head_dim
+    l_n = merged["ln"].shape[0]
+    t_max = cfg.tokenizer.max_token_seq
+    tok_cfg = cfg.net_token
+    stream_tok = merged["wg_t"].shape[1] == 1
+    n_stored = merged["chunks"].shape[0]
+    cpl = (n_stored - (tok_cfg.num_layers if stream_tok else 0)) // l_n
+    ng = (cpl - 1) // 3
+    dtype = merged["chunks"].dtype
+    n_ev_types = merged["steps"].shape[0] // t_max
+    capacity = page_size * pages_per_slot
+
+    from ..models.llama import rope_cos_sin
+    from .sampler import _per_row
+
+    index = jnp.asarray(index, jnp.int32).reshape(b)
+    active = jnp.asarray(active).reshape(b)
+    # conservative per-slot lengths: one work table serves all E events
+    # (blocks beyond the current length are exact no-ops in the flash loop);
+    # slots inactive at entry stream nothing
+    len_cons = jnp.where(active, jnp.minimum(index + n_events, capacity), 0)
+    bk = ppcb * page_size
+    nbt = (len_cons + bk - 1) // bk
+    cum = jnp.cumsum(nbt)
+    total = cum[-1:].astype(jnp.int32)
+    max_total = b * max(pages_per_slot // ppcb, 1)
+    flat = jnp.arange(max_total, dtype=jnp.int32)
+    slot_tbl = jnp.minimum(jnp.searchsorted(cum, flat, side="right"),
+                           b - 1).astype(jnp.int32)
+    blk_tbl = (flat - (cum - nbt)[slot_tbl]).astype(jnp.int32)
+    pages_tbl = jnp.clip(
+        (len_cons[slot_tbl] + page_size - 1) // page_size
+        - blk_tbl * ppcb, 1, ppcb).astype(jnp.int32)
+
+    # per-(event, slot) RoPE tables: position index_s + e (exact while the
+    # slot is alive; retired slots' drifted values are frozen out)
+    pos = index[None, :] + jnp.arange(n_events, dtype=jnp.int32)[:, None]
+    cos_e, sin_e = rope_cos_sin(pos.reshape(-1), cfgn.head_dim,
+                                cfgn.rope_theta)  # [E*B, dh]
+    cos_e = jnp.tile(cos_e, (1, cfgn.num_heads)).astype(
+        jnp.float32).reshape(n_events, b, w)
+    sin_e = jnp.tile(sin_e, (1, cfgn.num_heads)).astype(
+        jnp.float32).reshape(n_events, b, w)
+    cos_t, sin_t = rope_cos_sin(jnp.arange(t_max), tok_cfg.head_dim,
+                                tok_cfg.rope_theta)
+
+    kernel = functools.partial(
+        _event_loop_kernel, batch=b, num_heads=cfgn.num_heads,
+        head_dim=cfgn.head_dim, hidden=d, ng=ng,
+        page_size=page_size, ppcb=ppcb, pages_per_slot=pages_per_slot,
+        n_layers=l_n, eps=cfgn.rms_norm_eps, exact_tail=True,
+        n_rot=n_rot, t_layers=tok_cfg.num_layers, t_heads=tok_cfg.num_heads,
+        t_head_dim=tok_cfg.head_dim, t_max=t_max, n_events=n_ev_types,
+        t_eps=tok_cfg.rms_norm_eps, eos_id=int(cfg.tokenizer.eos_id),
+        greedy=greedy, stream_tok=stream_tok, ragged=True)
+
+    pool_shape = pools.k.shape
+    assert not pools.quantized, "merged kernel serves bf16 pools"
+    assert pool_shape[0] == l_n * b * pages_per_slot, pool_shape
+    k4 = pools.k.reshape(l_n * b, pages_per_slot, page_size, -1)
+    v4 = pools.v.reshape(l_n * b, pages_per_slot, page_size, -1)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
+    vocab = merged["lm"].shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(n_events, l_n + 1),
+        in_specs=[
+            vmem,                                                # hidden0
+            any_,                                                # chunks
+            pl.BlockSpec((1, 2, d), lambda e, p, *_: (jnp.maximum(p, 1) - 1,
+                                                  0, 0)),        # ln
+            vmem,                                                # final_norm
+            pl.BlockSpec((1, b, w), lambda e, p, *_: (e, 0, 0)),     # cos_e
+            pl.BlockSpec((1, b, w), lambda e, p, *_: (e, 0, 0)),     # sin_e
+            vmem, vmem, vmem,                                    # knobs
+        ] + [vmem] * 18                                # token net + cos/sin
+        + [pl.BlockSpec((1, t_max * b, K_CAP),
+                        lambda e, p, *_: (e, 0, 0))]                 # gumbel
+        + [vmem, vmem, vmem]                    # active0, lens0v, allow
+        + [any_, any_],                                          # pools
+        out_specs=[
+            pl.BlockSpec((1, b, t_max), lambda e, p, *_: (e, 0, 0)),  # rows
+            vmem,                                                 # xout
+            any_, any_,                                           # pools out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d), dtype),                   # xs residual
+            pltpu.VMEM((b, ng * 4 * d), dtype),          # g / gated
+            pltpu.VMEM((n_rot, d, 4 * d), dtype),        # weight rotation
+            pltpu.SemaphoreType.DMA((n_rot,)),
+            pltpu.VMEM((3, ppcb, page_size, w), pools.k.dtype),
+            pltpu.VMEM((3, ppcb, page_size, w), pools.v.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+            pltpu.VMEM((b, RMW_ROWS, w), pools.k.dtype),  # RMW tiles
+            pltpu.VMEM((b, RMW_ROWS, w), pools.v.dtype),
+            pltpu.SemaphoreType.DMA((b, 2)),              # per-slot RMW sems
+            pltpu.VMEM((b, cfgn.num_heads, w), jnp.float32),
+            pltpu.VMEM((b, cfgn.num_heads), jnp.float32),
+            pltpu.VMEM((b, cfgn.num_heads), jnp.float32),
+            pltpu.VMEM((b, vocab), jnp.float32),          # sampler work
+            pltpu.VMEM((b, 1), jnp.int32),                # alive
+        ],
+    )
+    tok_bytes = sum(int(np.prod(merged[n].shape)) * merged[n].dtype.itemsize
+                    for n in ("wq_t", "wk_t", "wv_t", "wo_t", "wg_t", "wu_t",
+                              "wd_t", "lm", "emb_t", "emb_net", "steps"))
+    scratch_bytes = (b * d + b * ng * 4 * d + n_rot * d * 4 * d) * 2 \
+        + 3 * 2 * bk * w * 2 + 2 * b * RMW_ROWS * w * 2 \
+        + b * cfgn.num_heads * (w + 2) * 4 + b * vocab * 4 \
+        + b * vocab * 2 + 2 * b * w * 4  # allow plane + cos/sin blocks
+    # ragged extras (per-slot RMW semaphores, gumbel/rows double-buffered
+    # windows, the bigger scalar tables) measured ~1 MB over the aligned
+    # formula on the live compiler — 4 MB headroom on top of _SLACK_BYTES
+    vmem_limit = int(tok_bytes) + int(scratch_bytes) + _SLACK_BYTES \
+        + (4 << 20)
+
+    topk = _per_row(top_k, b, jnp.int32)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_events, b, t_max), jnp.int32),
+            jax.ShapeDtypeStruct((b, d), dtype),
+            jax.ShapeDtypeStruct(k4.shape, k4.dtype),
+            jax.ShapeDtypeStruct(v4.shape, v4.dtype),
+        ],
+        input_output_aliases={38: 2, 39: 3},  # 7 scalars + 31 ins
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(
+        index, jnp.max(topk).reshape(1),
+        slot_tbl, blk_tbl, pages_tbl, nbt.astype(jnp.int32), total,
+        hidden.astype(dtype), merged["chunks"], merged["ln"],
+        merged["final_norm"].reshape(1, d).astype(dtype), cos_e, sin_e,
+        _per_row(temp, b, jnp.float32), _per_row(top_p, b, jnp.float32),
+        topk,
+        merged["wq_t"], merged["wk_t"], merged["wv_t"], merged["wo_t"],
+        merged["wg_t"], merged["wu_t"], merged["wd_t"],
+        merged["lna_t"], merged["lnm_t"], merged["fnorm_t"],
+        merged["lm"], merged["emb_t"], merged["emb_net"],
+        merged["first"], merged["steps"], merged["pad_only"],
+        cos_t, sin_t, gumbel,
+        active.astype(jnp.int32)[:, None], index[:, None],
+        allow.astype(jnp.bfloat16),
+        k4, v4,
     )
     rows, xout, k_new, v_new = outs
     return rows, xout, PagedPools(k=k_new.reshape(pool_shape),

@@ -188,10 +188,20 @@ def _splice_slot(slot, p_len, pools, hidden_all, index_all,
 
 def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
                top_p, top_k, slot_seed, chunk: int, greedy: bool = False,
-               allow=None, fused=None, *, page_size: int,
+               allow=None, fused=None, merged=None, *, page_size: int,
                pages_per_slot: int, token_kernel_ok: bool = True,
                tp_axis: Optional[str] = None):
     """Decode ``chunk`` events for all slots (one dispatch).
+
+    ``merged`` (ops.event_loop.prepare_inputs output, built once by the
+    batcher): the whole chunk runs as ONE ragged whole-event-loop kernel
+    dispatch — token rows sampled AND event net advanced in-kernel, the
+    token-net weights fetched once per CHUNK instead of once per event
+    (~56 MB/event of HBM traffic deleted at tv2o-medium), the event-net
+    weights streaming through a rotation that crosses event boundaries.
+    Slot semantics (retirement, seeds, knobs, allow planes) are identical
+    to the split scan below — asserted slot-for-slot in
+    tests/test_batcher_merged.py.
 
     carry = (pools, index [B], hidden [B, D]); allow [B, V] 0/1 (optional):
     per-slot constraint plane (requests with different instrument/channel
@@ -223,6 +233,44 @@ def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
     pools, index, hidden = carry
     b = hidden.shape[0]
     capacity = page_size * pages_per_slot
+
+    if merged is not None:
+        from ..ops import event_loop
+
+        t_max = config.tokenizer.max_token_seq
+        if greedy:
+            gumbel = jnp.zeros((chunk, t_max * b, event_loop.K_CAP),
+                               jnp.float32)
+        else:
+            # per-slot per-position streams: EXACTLY the split path's
+            # fold_in(PRNGKey(seed), index) keys fed through token_loop's
+            # per-row gumbel layout, so a seeded request reproduces across
+            # the merged/split paths and any batch composition
+            def g_event(e):
+                keys = jax.vmap(lambda s, ix: jax.random.fold_in(
+                    jax.random.PRNGKey(s), ix + e))(slot_seed, index)
+                return jnp.swapaxes(
+                    jax.vmap(lambda k2: jax.random.gumbel(
+                        k2, (t_max, event_loop.K_CAP), jnp.float32))(keys),
+                    0, 1).reshape(t_max * b, event_loop.K_CAP)
+
+            gumbel = jax.vmap(g_event)(jnp.arange(chunk))
+        allow_in = (allow if allow is not None
+                    else jnp.ones((b, config.tokenizer.vocab_size),
+                                  jnp.float32))
+        rows_e, xout, pools = event_loop.merged_decode_ragged(
+            merged, config, hidden, pools, index, active, allow_in,
+            temp, top_p, top_k, gumbel, page_size=page_size,
+            pages_per_slot=pages_per_slot, n_events=chunk, greedy=greedy)
+        hidden = llama.rms_norm(xout, merged["final_norm"],
+                                config.net.rms_norm_eps)
+        # a slot advanced once per non-pad row (the eos row advances, pad
+        # rows after device-side retirement do not) — matches the split
+        # scan's masked index updates exactly
+        adv = jnp.sum(rows_e[:, :, 0] != config.tokenizer.pad_id,
+                      axis=0).astype(jnp.int32)
+        return ((pools, index + adv, hidden),
+                jnp.transpose(rows_e, (1, 0, 2)))
 
     def one_event(carry, _):
         pools, index, hidden, alive = carry
@@ -483,6 +531,20 @@ class ContinuousBatcher:
         # are exactly the regime it wins in (13.9k vs 11.7k split).
         # tools/probe_both_kernels_real.py re-measures the combination.
         self._fused = None
+        # Round 5: the RAGGED whole-event-loop kernel replaces the split
+        # scan at <= 64 local slots (event_loop.merged_decode_ragged): the
+        # whole chunk is ONE dispatch, token-net weights fetched once per
+        # chunk instead of once per event — the round-4 gap between the
+        # shipped 32-slot default (8-9k ev/s) and aligned decode (14.8k at
+        # the same width) was exactly this re-staging.  >64 slots keep the
+        # split streaming path (per-slot flash loops are compiled per slot).
+        from ..ops import event_loop
+
+        self._merged = (
+            event_loop.prepare_inputs(params, config, self.masks)
+            if (mesh is None and local_slots <= 64
+                and event_loop.usable(params, config, self._pools))
+            else None)
         self._index = jnp.zeros((n_slots,), jnp.int32)
         self._hidden = jnp.zeros((n_slots, config.n_embd), dtype)
         self._prefill_tp = None
@@ -683,6 +745,7 @@ class ContinuousBatcher:
                                 jnp.asarray(self._active), temp,
                                 top_p, top_k, seeds, self.chunk,
                                 self.greedy, allow, self._fused,
+                                self._merged,
                                 page_size=self.page_size,
                                 pages_per_slot=self.pages_per_slot,
                                 token_kernel_ok=self._token_kernel_ok)
@@ -713,8 +776,13 @@ class ContinuousBatcher:
                     if slot.produced >= slot.budget:
                         done_reason = "budget"
                 # cache at capacity: the device clamps index at max_seq and
-                # stops decoding this slot — retire it
-                if done_reason is None and int(index_host[b]) >= self.max_seq:
+                # stops decoding this slot — retire it at CHUNK END only
+                # (index_host is the end-of-chunk index; checking it on an
+                # earlier row dropped the valid rows decoded between that
+                # row and the capacity boundary — found by the merged-path
+                # chunk-invariance test, tests/test_batcher_merged.py)
+                if (done_reason is None and n == rows.shape[1] - 1
+                        and int(index_host[b]) >= self.max_seq):
                     done_reason = "budget"
                 if done_reason:
                     finished.append(Finished(

@@ -23,6 +23,10 @@ from midi_model_tpu.serve.batcher import ContinuousBatcher
 
 
 def _setup(n_slots, max_seq, chunk, kv_int8, model="tv2o-medium"):
+    if "--split" in sys.argv:  # force the split scan (A/B vs merged kernel)
+        from midi_model_tpu.ops import event_loop
+
+        event_loop.set_enabled(False)
     config = MIDIModelConfig.from_name(model)
     tok = config.tokenizer
     params = midinet.init_params(jax.random.PRNGKey(0), config,

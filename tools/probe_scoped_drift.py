@@ -29,6 +29,8 @@ DEFAULT_KIB = [43008, 45056, 49152, 65536]
 
 def main():
     args = sys.argv[1:]
+    extra = [a for a in args if a in ("--split", "--int8")]
+    args = [a for a in args if a not in extra]
     if args and args[0] == "--kib":
         values = [int(a) for a in args[1:]]
     else:
@@ -39,7 +41,7 @@ def main():
               flush=True)
         r = subprocess.run(
             [sys.executable, "-u", os.path.join(HERE, "bench_batcher.py"),
-             "--steady", "--slots=32"],
+             "--steady", "--slots=32"] + extra,
             env=env, timeout=2400)
         if r.returncode:
             print(f"    -> exit {r.returncode} (compile reject?)",
