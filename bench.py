@@ -97,13 +97,16 @@ def main():
         for _ in range(n_slots):
             b.submit(p0, max_events=10**9)
         b.step()  # compile + first chunk
+        b.step()  # fill the pipeline (pipelined mode keeps 1 in flight)
         times = []
         for _ in range(steps):
             t0 = time.perf_counter()
             b.step()
             times.append(time.perf_counter() - t0)
         del b
-        return n_slots * chunk / min(times)
+        # sustained (mean) — min() overstates under pipelining, where a step
+        # fetching an already-finished chunk looks artificially fast
+        return n_slots * chunk * steps / sum(times)
 
     batcher32 = batcher_steady(32)
     batcher128 = batcher_steady(128)
