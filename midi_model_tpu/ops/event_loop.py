@@ -1150,6 +1150,33 @@ def _mlp_bytes(params: dict) -> int:
                for n in ("w_gate", "w_up", "w_down"))
 
 
+def plan_layout(params: dict, config, b: int):
+    """Pick the token-phase layout for a ``b``-slot dispatch, VMEM-aware.
+
+    Returns ``stream_tok_mlp`` (bool) if a layout fits the physical VMEM,
+    else None (caller falls back to the split per-event path).
+
+    Measured envelope (v5e compile reports, 2026-08-19): the kernel's
+    slot-scaled stack demand (logits + gumbel staging + flash scratch +
+    spills) outgrows the physical VMEM above 32 slots in EVERY layout —
+    medium/64 resident: 123.95 M demand vs a 117.65 M stack limit;
+    medium/64 streamed: 104.99 M vs 99.65 M (streaming shrinks the demand
+    AND the available stack — the extra chunk-stream entries reserve
+    VMEM); large/64 is strictly bigger.  At <= 32 slots both models fit
+    (medium resident, large streamed; 22.8k / 11.2k ev/s sustained).  So:
+    b <= 32 picks the layout by residency; b > 32 is a split-path verdict.
+    """
+    if b > 32:
+        return None
+    res = _resident_bytes(params)
+    if res <= _RESIDENT_CAP:
+        return False
+    if (config.net_token.intermediate_size <= config.net_token.hidden_size
+            and res - _mlp_bytes(params) <= _RESIDENT_CAP):
+        return True
+    return None
+
+
 def usable(params: dict, config, pools: PagedPools) -> bool:
     """TPU serving configuration: bf16 weights + pools, MHA, hidden ==
     heads*head_dim (uniform chunk shapes), and a token net that fits the

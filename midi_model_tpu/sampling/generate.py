@@ -330,10 +330,13 @@ def _decode_events_impl(params, config: MIDIModelConfig, state: GenState,
     from ..ops import event_loop as _el
 
     step0 = 0
-    if (tp_axis is None and b <= 64
-            and _el.usable(params, config, state.pools)):
+    _layout = (_el.plan_layout(params, config, b)
+               if tp_axis is None and b <= 64
+               and _el.usable(params, config, state.pools) else None)
+    if _layout is not None:
         E = _el.EVENTS_PER_DISPATCH
-        merged = _el.prepare_inputs(params, config, masks)
+        merged = _el.prepare_inputs(params, config, masks,
+                                    stream_tok_mlp=_layout)
         nd = n_events_chunk // E
         eos_id = config.tokenizer.eos_id
         ps = state.pools.page_size

@@ -506,8 +506,11 @@ class ContinuousBatcher:
         # outright; 32 slots fit and measure 5,891 ev/s.  No raise can
         # create VMEM: >16-layer nets take the XLA token scan above 32
         # slots (tools/bench_batcher.py --model=tv2o-large reproduces).
-        self._token_kernel_ok = (config.net.num_layers <= 16
-                                 or local_slots <= 32)
+        # The predicate lives in serve/capacity.py — the capacity matrix
+        # documents exactly what this gate decides.
+        from .capacity import token_kernel_ok
+        self._token_kernel_ok = token_kernel_ok(config.net.num_layers,
+                                                local_slots)
         # whole 4-page kernel compute blocks (a non-multiple forces one-page
         # DMAs in the paged kernel — measured 1.5-1.7x slower)
         block = 4 * page_size
@@ -544,15 +547,20 @@ class ContinuousBatcher:
         # whole chunk is ONE dispatch, token-net weights fetched once per
         # chunk instead of once per event — the round-4 gap between the
         # shipped 32-slot default (8-9k ev/s) and aligned decode (14.8k at
-        # the same width) was exactly this re-staging.  >64 slots keep the
-        # split streaming path (per-slot flash loops are compiled per slot).
+        # the same width) was exactly this re-staging.  Above 32 local
+        # slots the kernel's slot-scaled VMEM stack outgrows the chip in
+        # every layout (event_loop.plan_layout has the measured compile
+        # reports), so 64/128 slots keep the split streaming path — which
+        # the step pipeline still overlaps with the host.
         from ..ops import event_loop
 
-        self._merged = (
-            event_loop.prepare_inputs(params, config, self.masks)
-            if (mesh is None and local_slots <= 64
-                and event_loop.usable(params, config, self._pools))
-            else None)
+        self._merged = None
+        if (mesh is None
+                and event_loop.usable(params, config, self._pools)):
+            stream = event_loop.plan_layout(params, config, local_slots)
+            if stream is not None:
+                self._merged = event_loop.prepare_inputs(
+                    params, config, self.masks, stream_tok_mlp=stream)
         self._index = jnp.zeros((n_slots,), jnp.int32)
         self._hidden = jnp.zeros((n_slots, config.n_embd), dtype)
         self._prefill_tp = None

@@ -150,3 +150,22 @@ def test_integrated_chunk_loop_greedy(setup, monkeypatch):
 
     assert int(n_got) == int(n_ref)
     np.testing.assert_array_equal(np.asarray(rows_got), rows_ref)
+
+
+@pytest.mark.parametrize("name,expect32,expect64", [
+    # (stream_tok_mlp at 32 slots, at 64 slots); None = kernel doesn't fit,
+    # split path.  Anchored on 2026-08-19 v5e compile reports: medium/64
+    # resident demanded 123.95M of the 117.65M stack limit, streamed 104.99M
+    # of 99.65M;
+    # large must stream at 32; above 32 slots the slot-scaled
+    # stack outgrows VMEM for every model/layout -> split path (None).
+    ("tv2o-medium", False, None),
+    ("tv2o-large", True, None),
+])
+def test_plan_layout_matches_measured_matrix(name, expect32, expect64):
+    config = MIDIModelConfig.from_name(name)
+    params = jax.eval_shape(
+        lambda k: midinet.init_params(k, config, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(0))
+    assert event_loop.plan_layout(params, config, 32) is expect32
+    assert event_loop.plan_layout(params, config, 64) is expect64
