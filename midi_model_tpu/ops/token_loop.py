@@ -109,11 +109,11 @@ def _token_row_kernel(maxk_ref, temp_ref, topp_ref, topk_ref, hidden_ref,
                       ln_attn_ref, ln_mlp_ref, fnorm_ref, lm_ref, emb_ref,
                       first_ref, steps_ref, pad_only_ref, cos_ref, sin_ref,
                       gumbel_ref, forced_ref, allow_ref,
-                      row_ref, ended_ref, work_ref,
+                      row_ref, ended_ref, work_ref, *stream_scratch,
                       n_layers: int, n_heads: int, kv_heads: int,
                       head_dim: int, t_max: int, n_events: int, eps: float,
                       eos_id: int, k_cap: int, greedy: bool,
-                      per_slot_allow: bool):
+                      per_slot_allow: bool, stream_mlp: bool = False):
     b, d = hidden_ref.shape
     v = lm_ref.shape[-1]
     temp = temp_ref[...]  # [B, 1] f32 per-row sampling knobs
@@ -132,6 +132,31 @@ def _token_row_kernel(maxk_ref, temp_ref, topp_ref, topk_ref, hidden_ref,
     e_onehot = jnp.zeros((b, n_events), jnp.float32)
     ks = [[] for _ in range(n_layers)]  # per layer: list of [B, Hkv*dh] bf16
     vs = [[] for _ in range(n_layers)]
+
+    if stream_mlp:
+        # streamed-MLP layout (deep token nets whose full residency does not
+        # fit next to the slot-scaled stack): wg_ref is the packed per-layer
+        # gate|up|down chunk array [L, D, 2F+D] in ANY memory, double-
+        # buffered through VMEM scratch.  All chunk indices are STATIC
+        # (steps and layers are unrolled), so each copy is a plain
+        # static-slice DMA.  Chunks re-stream every step — ~L*(2F+D)*D*2
+        # bytes x t_max per dispatch — but that stream is batch-invariant
+        # and overlaps the per-layer attention compute, which scales with B.
+        wbuf, wsem = stream_scratch
+        n_chunks = t_max * n_layers
+
+        def issue(c):
+            if c < n_chunks:
+                pltpu.make_async_copy(wg_ref.at[c % n_layers],
+                                      wbuf.at[c % 2], wsem.at[c % 2]).start()
+
+        def consume(c):
+            pltpu.make_async_copy(wg_ref.at[c % n_layers],
+                                  wbuf.at[c % 2], wsem.at[c % 2]).wait()
+            return c % 2
+
+        issue(0)
+        issue(1)
 
     for j in range(t_max):  # static unroll: the KV "cache" is live values
         cos_j = cos_ref[j:j + 1, :]
@@ -176,10 +201,25 @@ def _token_row_kernel(maxk_ref, temp_ref, topp_ref, topk_ref, hidden_ref,
             hm = _rms_norm(x, ln_mlp_ref[li:li + 1, :], eps)
             # silu in f32 (Mosaic has no bf16 logistic; XLA's bf16 sigmoid
             # is computed in f32 internally and rounded, same result)
-            gf = _mm(hm, wg_ref[li]).astype(jnp.float32)
-            gated = (gf * jax.nn.sigmoid(gf)).astype(dtype) \
-                * _mm(hm, wu_ref[li])
-            x = x + _mm(gated, wd_ref[li])
+            if stream_mlp:
+                ft = (wg_ref.shape[-1] - d) // 2
+                c = j * n_layers + li
+                s = consume(c)
+                gf = _mm(hm, wbuf[s, :, :ft]).astype(jnp.float32)
+                gated = (gf * jax.nn.sigmoid(gf)).astype(dtype) \
+                    * _mm(hm, wbuf[s, :, ft:2 * ft])
+                # down rows are zero-padded from F to D: the padded gated
+                # lanes multiply through as exact 0.0, bit-identical to the
+                # resident path
+                gp = (gated if ft == d
+                      else jnp.pad(gated, ((0, 0), (0, d - ft))))
+                x = x + _mm(gp, wbuf[s, :, 2 * ft:])
+                issue(c + 2)
+            else:
+                gf = _mm(hm, wg_ref[li]).astype(jnp.float32)
+                gated = (gf * jax.nn.sigmoid(gf)).astype(dtype) \
+                    * _mm(hm, wu_ref[li])
+                x = x + _mm(gated, wd_ref[li])
 
         hf = _rms_norm(x, fnorm_ref[...], eps)
         logits = _mm(hf, lm_ref[...]).astype(jnp.float32)
@@ -222,10 +262,20 @@ def _token_row_kernel(maxk_ref, temp_ref, topp_ref, topk_ref, hidden_ref,
     ended_ref[...] = ended.astype(jnp.int32)
 
 
+def _mlp_chunks(lp):
+    """Pack each token layer's gate|up|down into one [D, 2F+D] chunk for the
+    streamed-MLP layout (down ROWS zero-padded from F to D — padded rows
+    multiply against zero-padded gated lanes, exact)."""
+    tl, dd, ft = lp["w_gate"].shape
+    assert ft <= dd, "stream_mlp needs token FFN width <= hidden"
+    down = jnp.pad(lp["w_down"], ((0, 0), (0, dd - ft), (0, 0)))
+    return jnp.concatenate([lp["w_gate"], lp["w_up"], down], axis=-1)
+
+
 def decode_token_row(params: dict, config, hidden: jax.Array, masks,
                      temp, top_p, top_k, key: jax.Array, *,
                      greedy: bool = False, forced_pad=None, allow=None,
-                     interpret: bool = False):
+                     stream_mlp: bool = False, interpret: bool = False):
     """Decode one full token row for every batch row in ONE kernel dispatch.
 
     params: the full model pytree ({"net_token": ..., "lm_head": ...});
@@ -282,7 +332,8 @@ def decode_token_row(params: dict, config, hidden: jax.Array, masks,
         n_layers=tok_cfg.num_layers, n_heads=tok_cfg.num_heads,
         kv_heads=tok_cfg.kv_heads, head_dim=tok_cfg.head_dim, t_max=t_max,
         n_events=int(n_events), eps=tok_cfg.rms_norm_eps, eos_id=eos_id,
-        k_cap=K_CAP, greedy=greedy, per_slot_allow=allow is not None)
+        k_cap=K_CAP, greedy=greedy, per_slot_allow=allow is not None,
+        stream_mlp=stream_mlp)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     from .sampler import _per_row
@@ -292,21 +343,39 @@ def decode_token_row(params: dict, config, hidden: jax.Array, masks,
     allow_in = (jnp.zeros((8, LANE), jnp.bfloat16) if allow is None
                 else allow.astype(jnp.bfloat16))
     topk = _per_row(top_k, b, jnp.int32)
+    scratch = [pltpu.VMEM((b, vocab), jnp.float32)]
+    if stream_mlp:
+        # MLP weights leave residency: packed chunks live in ANY memory and
+        # double-buffer through this scratch (the kernel's static-index DMA
+        # rotation), freeing ~L*3*F*D bytes of residency for deep token nets
+        d_mlp = jnp.zeros((8, LANE), dtype)
+        mlp_in = (_mlp_chunks(lp), d_mlp, d_mlp)
+        ft = tok_cfg.intermediate_size
+        scratch += [pltpu.VMEM((2, d, 2 * ft + d), dtype),
+                    pltpu.SemaphoreType.DMA((2,))]
+        mlp_spec = [pl.BlockSpec(memory_space=pl.ANY), vmem, vmem]
+    else:
+        mlp_in = (lp["w_gate"], lp["w_up"], lp["w_down"])
+        mlp_spec = [vmem] * 3
     row, ended = pl.pallas_call(
         kernel,
-        in_specs=[smem] + [vmem] * 24,
+        in_specs=[smem] + [vmem] * 8 + mlp_spec + [vmem] * 13,
         out_specs=[vmem, vmem],
         out_shape=[jax.ShapeDtypeStruct((b, t_max), jnp.int32),
                    jax.ShapeDtypeStruct((b, 1), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((b, vocab), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             # measured demand with double-buffered VMEM weight inputs is
             # ~110 MB; the explicit limits of co-compiled Pallas kernels
             # can SUM in the program's vmem accounting, so keep this as
             # tight as the demand allows (the fused decode-step kernel's
             # weight windows shave the shared pool too — its rope matrix
-            # and this kernel's step table went bf16/in-kernel for that)
-            vmem_limit_bytes=112 * 1024 * 1024),
+            # and this kernel's step table went bf16/in-kernel for that).
+            # The streamed-MLP layout trades ~3LFD bytes of residency for
+            # a 2-chunk buffer (large: -36 MB + 12 MB) but serves DEEP nets
+            # at big slot counts (large/128 resident demand measured
+            # 141.7 MB; streamed ~118 MB) — give it the headroom.
+            vmem_limit_bytes=(120 if stream_mlp else 112) * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.max(topk).reshape(1),
@@ -315,7 +384,7 @@ def decode_token_row(params: dict, config, hidden: jax.Array, masks,
         topk,
         hidden.astype(dtype),
         lp["wq"], lp["wk"], lp["wv"], lp["wo"],
-        lp["w_gate"], lp["w_up"], lp["w_down"],
+        *mlp_in,
         lp["ln_attn"], lp["ln_mlp"],
         params["net_token"]["final_norm"].reshape(1, d),
         params["lm_head"].astype(dtype),

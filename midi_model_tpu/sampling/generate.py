@@ -209,20 +209,25 @@ def decode_token_row_any(params, config: MIDIModelConfig, hidden: jax.Array,
                          masks, temp, top_p, top_k, key, greedy: bool,
                          forced_pad: Optional[jax.Array] = None,
                          kernel_ok: bool = True,
-                         allow: Optional[jax.Array] = None):
+                         allow: Optional[jax.Array] = None,
+                         stream_mlp: bool = False):
     """Token-row decode with backend dispatch: the fused VMEM-resident Pallas
     kernel on TPU/bf16 (ops/token_loop.py, ~4x the XLA scan at bs=32), the
     XLA scan elsewhere.  ``kernel_ok=False`` forces the scan — the aligned
     decode loop uses it above 64 rows, where the kernel's ~110 MB VMEM
     footprint doesn't fit next to that program's other buffers and its
-    weight-reuse advantage has amortized away anyway.  ``allow`` [B, V] 0/1:
-    per-row constraint plane (continuous batching; masks.build_allow_vector)."""
+    weight-reuse advantage has amortized away anyway.  ``stream_mlp`` keeps
+    the kernel usable for deep token nets (tv2o-large above 32 slots) by
+    streaming the MLP weights instead of keeping them resident.  ``allow``
+    [B, V] 0/1: per-row constraint plane (continuous batching;
+    masks.build_allow_vector)."""
     from ..ops import token_loop
 
     if kernel_ok and token_loop.usable(params, config):
         return token_loop.decode_token_row(
             params, config, hidden, masks, temp, top_p, top_k, key,
-            greedy=greedy, forced_pad=forced_pad, allow=allow)
+            greedy=greedy, forced_pad=forced_pad, allow=allow,
+            stream_mlp=stream_mlp)
     return token_row_scan(params, config, hidden, masks, temp, top_p, top_k,
                           key, greedy, forced_pad, allow)
 

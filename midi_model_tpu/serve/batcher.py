@@ -117,8 +117,23 @@ def _prefill_impl(params, config: MIDIModelConfig, prompt: jax.Array,
     return cache.k, cache.v, h_last
 
 
-_prefill_request = functools.partial(
-    jax.jit, static_argnames=("config", "bucket"))(_prefill_impl)
+@functools.lru_cache(maxsize=4)
+def _prefill_jitted(backend: str):
+    """Jitted ``_prefill_impl`` with the scoped-VMEM raise on TPU: even with
+    the 16-event embed chunking above, the fused pad+clamp+gather tips the
+    16 MB default by ~60 KB at the (bucket=256, group=8) variant ("Scoped
+    allocation with size 16.06M and limit 16.00M", 2026-08-19 — surfaced by
+    tools/bench_batcher.py --churn, whose mixed prompt lengths exercise
+    prefill buckets the steady-state bench never compiles)."""
+    from ..utils.xla_opts import decode_step_compiler_options
+
+    opts = decode_step_compiler_options() if backend == "tpu" else None
+    return jax.jit(_prefill_impl, static_argnames=("config", "bucket"),
+                   compiler_options=opts)
+
+
+def _prefill_request(*args, **kwargs):
+    return _prefill_jitted(jax.default_backend())(*args, **kwargs)
 
 
 def _splice_impl(slot, mine, p_len, pools, hidden_all, index_all,
@@ -190,6 +205,7 @@ def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
                top_p, top_k, slot_seed, chunk: int, greedy: bool = False,
                allow=None, fused=None, merged=None, *, page_size: int,
                pages_per_slot: int, token_kernel_ok: bool = True,
+               token_stream_mlp: bool = False,
                tp_axis: Optional[str] = None):
     """Decode ``chunk`` events for all slots (one dispatch).
 
@@ -280,7 +296,7 @@ def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
         row, _ended = decode_token_row_any(
             params, config, hidden, masks, temp, top_p, top_k, row_keys,
             greedy, forced_pad=~alive, kernel_ok=token_kernel_ok,
-            allow=allow)
+            allow=allow, stream_mlp=token_stream_mlp)
 
         emb = midinet.embed_events(params, row[:, None, :])[:, 0]
         if fused is not None:
@@ -321,7 +337,8 @@ def _step_jitted(backend: str):
     return jax.jit(_step_impl, donate_argnums=(2,),
                    static_argnames=("config", "chunk", "greedy",
                                     "page_size", "pages_per_slot",
-                                    "token_kernel_ok"),
+                                    "token_kernel_ok",
+                                    "token_stream_mlp"),
                    compiler_options=opts)
 
 
@@ -343,7 +360,7 @@ def _pool_specs(quantized: bool, tp: bool = False):
 def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
                  greedy: bool, page_size: int, pages_per_slot: int,
                  token_kernel_ok: bool, local_slots: int, use_fused: bool,
-                 tp: int = 1):
+                 tp: int = 1, token_stream_mlp: bool = False):
     """Build the jitted shard_map'd (step, splice, prefill) triple for a
     mesh-sharded batcher: slots are partitioned over the mesh's ``data``
     axis and every shard runs the full single-chip decode program on its
@@ -389,7 +406,8 @@ def _make_dp_fns(mesh, quantized: bool, config: MIDIModelConfig, chunk: int,
                           fused if use_fused and not tp_on else None,
                           page_size=page_size,
                           pages_per_slot=pages_per_slot,
-                          token_kernel_ok=token_kernel_ok, tp_axis=tp_axis)
+                          token_kernel_ok=token_kernel_ok,
+                          token_stream_mlp=token_stream_mlp, tp_axis=tp_axis)
 
     from ..utils.xla_opts import decode_step_compiler_options
 
@@ -504,13 +522,19 @@ class ContinuousBatcher:
         # count — at 128 slots the program needs 141.7 MB of the chip's
         # 128 MB VMEM (bf16 and int8 alike) and the compiler rejects it
         # outright; 32 slots fit and measure 5,891 ev/s.  No raise can
-        # create VMEM: >16-layer nets take the XLA token scan above 32
-        # slots (tools/bench_batcher.py --model=tv2o-large reproduces).
-        # The predicate lives in serve/capacity.py — the capacity matrix
+        # create VMEM — but round 5 STREAMS the deep net's MLP weights
+        # through a 2-slot rotation instead (ops/token_loop.py
+        # ``stream_mlp``): residency drops ~59 MB for a ~19.7 MB double
+        # buffer and large keeps its token kernel above 32 slots.  The
+        # predicate lives in serve/capacity.py — the capacity matrix
         # documents exactly what this gate decides.
-        from .capacity import token_kernel_ok
-        self._token_kernel_ok = token_kernel_ok(config.net.num_layers,
-                                                local_slots)
+        from .capacity import token_kernel_layout
+        layout = token_kernel_layout(
+            config.net.num_layers, local_slots,
+            config.net_token.intermediate_size
+            <= config.net_token.hidden_size)
+        self._token_kernel_ok = layout is not None
+        self._token_stream_mlp = layout == "stream"
         # whole 4-page kernel compute blocks (a non-multiple forces one-page
         # DMAs in the paged kernel — measured 1.5-1.7x slower)
         block = 4 * page_size
@@ -584,7 +608,8 @@ class ContinuousBatcher:
             self._step_dp, self._splice_dp, self._prefill_tp = _make_dp_fns(
                 mesh, kv_int8, config, chunk, greedy, page_size,
                 self.pages_per_slot, self._token_kernel_ok, local_slots,
-                use_fused=self._fused is not None, tp=tp)
+                use_fused=self._fused is not None, tp=tp,
+                token_stream_mlp=self._token_stream_mlp)
         self._active = np.zeros((n_slots,), bool)
         # host mirror of the device per-slot index (see step()): advanced
         # from the decoded rows, reset by _install — no per-step fetch
@@ -806,7 +831,8 @@ class ContinuousBatcher:
                                 self._merged,
                                 page_size=self.page_size,
                                 pages_per_slot=self.pages_per_slot,
-                                token_kernel_ok=self._token_kernel_ok)
+                                token_kernel_ok=self._token_kernel_ok,
+                                token_stream_mlp=self._token_stream_mlp)
         (self._pools, self._index, self._hidden) = carry
         return rows, snap  # rows NOT fetched here — step() decides when
 

@@ -114,14 +114,16 @@ def test_deep_net_token_kernel_gate():
     """>16-layer nets (tv2o-large): the token-row kernel's VMEM-resident
     weights + slot-scaled register spills exceed the chip's 128 MB above
     32 slots (measured 141.7 MB at 128; a PHYSICAL limit, not the round-3
-    scoped-accounting bug) — the batcher must gate it to the XLA scan."""
+    scoped-accounting bug) — above 32 slots the batcher must switch the
+    kernel to the streamed-MLP layout (round 5: gate/up/down leave
+    residency and double-buffer through a 2-slot rotation)."""
     cfg = MIDIModelConfig.get_config("v2", True, n_layer=20, n_head=4,
                                      n_embd=64, n_inner=128)
     params = midinet.init_params(jax.random.PRNGKey(0), cfg)
     small = ContinuousBatcher(params, cfg, n_slots=32, max_seq=32, chunk=2)
-    assert small._token_kernel_ok
+    assert small._token_kernel_ok and not small._token_stream_mlp
     big = ContinuousBatcher(params, cfg, n_slots=96, max_seq=32, chunk=2)
-    assert not big._token_kernel_ok
+    assert big._token_kernel_ok and big._token_stream_mlp
 
 
 def test_per_request_constraints_share_batch(setup):

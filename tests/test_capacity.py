@@ -17,34 +17,41 @@ from midi_model_tpu.serve import capacity
     "model,n_slots,max_seq,kv_int8,dp,tp,fits,event_loop,token_kernel",
     [
         # the BASELINE.md-quoted serving configs (512-event contexts)
-        ("tv2o-medium", 32, 512, False, 1, 1, True, "resident", True),
-        ("tv2o-medium", 128, 512, False, 1, 1, True, "split", True),
-        ("tv2o-medium", 128, 512, True, 1, 1, True, "split", True),
-        ("tv2o-large", 32, 512, False, 1, 1, True, "streamed-mlp", True),
-        ("tv2o-large", 128, 512, False, 1, 1, True, "split", False),
+        ("tv2o-medium", 32, 512, False, 1, 1, True, "resident", "resident"),
+        ("tv2o-medium", 128, 512, False, 1, 1, True, "split", "resident"),
+        ("tv2o-medium", 128, 512, True, 1, 1, True, "split", "resident"),
+        ("tv2o-large", 32, 512, False, 1, 1, True, "streamed-mlp",
+         "resident"),
+        ("tv2o-large", 128, 512, False, 1, 1, True, "split", "stream"),
         # max-context (4096) HBM boundaries
-        ("tv2o-medium", 128, 4096, False, 1, 1, False, "split", True),
-        ("tv2o-medium", 128, 4096, True, 1, 1, True, "split", True),
-        ("tv2o-large", 64, 4096, True, 1, 1, False, "split", False),
-        ("tv2o-large", 64, 4096, True, 1, 2, True, "split", False),
+        ("tv2o-medium", 128, 4096, False, 1, 1, False, "split", "resident"),
+        ("tv2o-medium", 128, 4096, True, 1, 1, True, "split", "resident"),
+        ("tv2o-large", 64, 4096, True, 1, 1, False, "split", "stream"),
+        ("tv2o-large", 64, 4096, True, 1, 2, True, "split", "stream"),
         # dp shards slots across chips: 256 global == 128 local
-        ("tv2o-medium", 256, 4096, True, 2, 1, True, "split", True),
+        ("tv2o-medium", 256, 4096, True, 2, 1, True, "split", "resident"),
     ])
 def test_matrix_rows(model, n_slots, max_seq, kv_int8, dp, tp, fits,
                      event_loop, token_kernel):
     p = capacity.plan(model, n_slots, max_seq, kv_int8=kv_int8, dp=dp, tp=tp)
     assert p.fits_hbm is fits
     assert p.merged_kernel == event_loop
-    assert p.token_kernel is token_kernel
+    assert p.token_kernel == token_kernel
 
 
 def test_token_kernel_gate_predicate():
     """The predicate the batcher gates on (serve/batcher.py __init__ imports
     exactly this function) matches the measured envelope: >16-layer token
-    nets lose the fused token-row kernel above 32 local slots."""
-    for layers, slots, expect in [(12, 128, True), (24, 128, False),
-                                  (24, 32, True), (17, 64, False)]:
-        assert capacity.token_kernel_ok(layers, slots) is expect
+    nets switch the fused token-row kernel to the streamed-MLP layout above
+    32 local slots (and lose it only when FFN width > hidden, where the
+    packed-chunk padding trick does not apply)."""
+    for layers, slots, expect in [(12, 128, "resident"),
+                                  (24, 128, "stream"),
+                                  (24, 32, "resident"),
+                                  (17, 64, "stream")]:
+        assert capacity.token_kernel_layout(layers, slots) == expect
+    assert capacity.token_kernel_layout(24, 64, ffn_le_hidden=False) is None
+    assert capacity.token_kernel_ok(24, 64) is True
 
 
 @pytest.mark.parametrize("tp,kv_int8", [(1, False), (1, True),

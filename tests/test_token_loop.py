@@ -114,3 +114,43 @@ def test_allow_plane_matches_scan(setup):
     banned0 = {v.event_ids["patch_change"], v.param_base("channel") + 1,
                v.param_base("channel") + 3}
     assert not (set(np.asarray(row)[0].tolist()) & banned0)
+
+
+def test_streamed_mlp_matches_resident(setup):
+    """The streamed-MLP layout (deep token nets: MLP weights DMA'd through
+    a 2-slot rotation instead of VMEM-resident) is bit-identical to the
+    resident kernel — sampled mode, per-row knobs."""
+    config, params, masks, hidden = setup
+    key = jax.random.PRNGKey(7)
+    temp = jnp.asarray([1.0, 0.8, 1.2, 1.0])
+    top_p = jnp.asarray([0.98, 0.9, 1.0, 0.5])
+    top_k = jnp.asarray([20, 8, 1, 64])
+    row_ref, ended_ref = token_loop.decode_token_row(
+        params, config, hidden, masks, temp, top_p, top_k, key,
+        greedy=False, interpret=True)
+    row, ended = token_loop.decode_token_row(
+        params, config, hidden, masks, temp, top_p, top_k, key,
+        greedy=False, stream_mlp=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(row), np.asarray(row_ref))
+    np.testing.assert_array_equal(np.asarray(ended), np.asarray(ended_ref))
+
+
+def test_streamed_mlp_pads_narrow_ffn():
+    """A token net with FFN width < hidden exercises the zero-padded down
+    rows / gated lanes (exactness of the padding)."""
+    config = MIDIModelConfig.get_config("v2", True, 4, 4, 256, 512)
+    # narrow the token net's FFN below hidden (get_config gives ffn/4=128)
+    assert config.net_token.intermediate_size < config.net_token.hidden_size
+    params = midinet.init_params(jax.random.PRNGKey(0), config,
+                                 dtype=jnp.float32)
+    masks = _mask_arrays(build_mask_table(config.tokenizer))
+    hidden = jax.random.normal(jax.random.PRNGKey(1),
+                               (4, config.n_embd), jnp.float32) * 0.5
+    key = jax.random.PRNGKey(2)
+    row_ref, _ = token_loop.decode_token_row(
+        params, config, hidden, masks, 1.0, 0.98, 20, key, greedy=True,
+        interpret=True)
+    row, _ = token_loop.decode_token_row(
+        params, config, hidden, masks, 1.0, 0.98, 20, key, greedy=True,
+        stream_mlp=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(row), np.asarray(row_ref))
