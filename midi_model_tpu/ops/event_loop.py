@@ -96,7 +96,7 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
         eps: float, exact_tail: bool, n_rot: int,
         t_layers: int, t_heads: int, t_head_dim: int, t_max: int,
         n_events: int, t_eps: float, eos_id: int, greedy: bool,
-        stream_tok: bool, ragged: bool = False):
+        stream_tok: bool, ragged: bool = False, group: int = 1):
     if ragged:
         # per-slot geometry: the continuous batcher's slots have different
         # history lengths and retire independently.  The flat slot-major
@@ -338,7 +338,14 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
             wpos = len_e                 # append position (wrapper-clipped)
             nb = (len_e + bk - 1) // bk  # cache blocks per slot (uniform)
             nbs = jnp.maximum(nb, 1)
-            total = b * nb
+            # GROUPED flash loop: ``group`` consecutive slots share each
+            # cache-block DMA — their pool rows (li*batch + s) are adjacent,
+            # so ONE strided copy fetches [group, kk, page_size, W].  At
+            # bs=32/L=12/nb=2 the per-slot loop costs 2*32*2*12 = 1536
+            # scalar DMA waits per event; grouping divides that by G (the
+            # round-4 floor accounting attributed the 0.36 ms/event gap to
+            # exactly this bookkeeping).
+            total = (b // group) * nb
         c_base = e_i * cpe + tk + li * cpl
 
         x0 = xs_ref[...]
@@ -422,7 +429,8 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
 
         def copy_block(i, slot):
             s_i, blk0, kp = blk_geom(i)
-            row = li * batch + s_i
+            # ragged: s_i is a slot; aligned grouped: s_i is a GROUP index
+            row = li * batch + s_i * (1 if ragged else group)
             if not (exact_tail or ragged):
                 kp = ppcb
             for kk in (range(1, ppcb + 1) if exact_tail or ragged
@@ -433,9 +441,16 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
                     # appends are visible through them in interpret mode
                     for jj, (src, dst) in enumerate(
                             ((k_out_ref, kbuf), (v_out_ref, vbuf))):
-                        pltpu.make_async_copy(src.at[row, pl.ds(blk0, kk)],
-                                              dst.at[slot, pl.ds(0, kk)],
-                                              csems.at[slot, jj]).start()
+                        if ragged:
+                            pltpu.make_async_copy(
+                                src.at[row, pl.ds(blk0, kk)],
+                                dst.at[slot, pl.ds(0, kk)],
+                                csems.at[slot, jj]).start()
+                        else:
+                            pltpu.make_async_copy(
+                                src.at[pl.ds(row, group), pl.ds(blk0, kk)],
+                                dst.at[slot, :, pl.ds(0, kk)],
+                                csems.at[slot, jj]).start()
                 _sized(kp, kk, body)
 
         def wait_block(i, slot):
@@ -447,9 +462,16 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
                 def body(kk=kk):
                     for jj, (src, dst) in enumerate(
                             ((k_out_ref, kbuf), (v_out_ref, vbuf))):
-                        pltpu.make_async_copy(src.at[0, pl.ds(0, kk)],
-                                              dst.at[slot, pl.ds(0, kk)],
-                                              csems.at[slot, jj]).wait()
+                        if ragged:
+                            pltpu.make_async_copy(
+                                src.at[0, pl.ds(0, kk)],
+                                dst.at[slot, pl.ds(0, kk)],
+                                csems.at[slot, jj]).wait()
+                        else:
+                            pltpu.make_async_copy(
+                                src.at[pl.ds(0, group), pl.ds(0, kk)],
+                                dst.at[slot, :, pl.ds(0, kk)],
+                                csems.at[slot, jj]).wait()
                 _sized(kp, kk, body)
 
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (w, num_heads), 0)
@@ -468,64 +490,109 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
         def _():
             copy_block(1, 1)
 
-        i0 = jnp.zeros((), jnp.int32)
-        for s in range(b):
-            q_rowb = qsb[s:s + 1, :].astype(jnp.float32)
-            if ragged:
+        if ragged:
+            i0 = jnp.zeros((), jnp.int32)
+            for s in range(b):
+                q_rowb = qsb[s:s + 1, :].astype(jnp.float32)
                 nb_s = nbt_ref[s]          # conservative (== the table's)
                 len_s = len0_ref[s] + e_i  # exact while the slot is alive
-            else:
-                nb_s = nb
-                len_s = len_e
-                i0 = s * nb
 
-            def blk_loop(j, carry, i0=i0, q_rowb=q_rowb, len_s=len_s):
-                acc, m, l = carry
-                i = i0 + j
-                slot = jax.lax.rem(i, 3)
+                def blk_loop(j, carry, i0=i0, q_rowb=q_rowb, len_s=len_s):
+                    acc, m, l = carry
+                    i = i0 + j
+                    slot = jax.lax.rem(i, 3)
 
-                @pl.when(i + 2 < total)
-                def _():
-                    copy_block(i + 2, jax.lax.rem(i + 2, 3))
+                    @pl.when(i + 2 < total)
+                    def _():
+                        copy_block(i + 2, jax.lax.rem(i + 2, 3))
 
-                wait_block(i, slot)
-                k_blk = kbuf[slot].reshape(bk, w)
-                prod = k_blk.astype(jnp.float32) * q_rowb
-                sc = jax.lax.dot(prod, gmask32,
-                                 preferred_element_type=jnp.float32)
-                row = j * bk + jax.lax.broadcasted_iota(jnp.int32,
-                                                        sc.shape, 0)
-                sc = jnp.where(row < len_s, sc, -jnp.inf)
-                block_m = jnp.max(sc, axis=0)[:, None]
-                m_new = jnp.maximum(m, block_m)
-                alpha = jnp.exp(m - m_new)
-                acc = acc * alpha
-                l = l * alpha
-                pexp = jnp.exp(sc - m_new.T)
-                if ragged:
+                    wait_block(i, slot)
+                    k_blk = kbuf[slot].reshape(bk, w)
+                    prod = k_blk.astype(jnp.float32) * q_rowb
+                    sc = jax.lax.dot(prod, gmask32,
+                                     preferred_element_type=jnp.float32)
+                    row = j * bk + jax.lax.broadcasted_iota(jnp.int32,
+                                                            sc.shape, 0)
+                    sc = jnp.where(row < len_s, sc, -jnp.inf)
+                    block_m = jnp.max(sc, axis=0)[:, None]
+                    m_new = jnp.maximum(m, block_m)
+                    alpha = jnp.exp(m - m_new)
+                    acc = acc * alpha
+                    l = l * alpha
+                    pexp = jnp.exp(sc - m_new.T)
                     # conservative blocks can be ALL-masked (m_new still
                     # -inf): exp(-inf - -inf) = NaN — re-mask like the
                     # streaming kernel (exact: pexp is 0 on live geometry)
                     pexp = jnp.where(row < len_s, pexp, 0.0)
-                l = l + jnp.sum(pexp, axis=0)[:, None]
-                v_blk = vbuf[slot].reshape(bk, w)
-                v_blk = jnp.where(row[:, :1] < len_s, v_blk,
-                                  jnp.zeros_like(v_blk))
-                acc = acc + jax.lax.dot(
-                    pexp.astype(v_blk.dtype), v_blk,
-                    preferred_element_type=jnp.float32,
-                    dimension_numbers=(((0,), (0,)), ((), ())))
-                return acc, m_new, l
+                    l = l + jnp.sum(pexp, axis=0)[:, None]
+                    v_blk = vbuf[slot].reshape(bk, w)
+                    v_blk = jnp.where(row[:, :1] < len_s, v_blk,
+                                      jnp.zeros_like(v_blk))
+                    acc = acc + jax.lax.dot(
+                        pexp.astype(v_blk.dtype), v_blk,
+                        preferred_element_type=jnp.float32,
+                        dimension_numbers=(((0,), (0,)), ((), ())))
+                    return acc, m_new, l
 
-            init = (jnp.zeros((num_heads, w), jnp.float32),
-                    jnp.full((num_heads, 1), -jnp.inf, jnp.float32),
-                    jnp.zeros((num_heads, 1), jnp.float32))
-            acc, m, l = jax.lax.fori_loop(0, nb_s, blk_loop, init)
-            accs_ref[s] = acc
-            ms_ref[s:s + 1, :] = m.T
-            ls_ref[s:s + 1, :] = l.T
-            if ragged:
+                init = (jnp.zeros((num_heads, w), jnp.float32),
+                        jnp.full((num_heads, 1), -jnp.inf, jnp.float32),
+                        jnp.zeros((num_heads, 1), jnp.float32))
+                acc, m, l = jax.lax.fori_loop(0, nb_s, blk_loop, init)
+                accs_ref[s] = acc
+                ms_ref[s:s + 1, :] = m.T
+                ls_ref[s:s + 1, :] = l.T
                 i0 = i0 + nb_s
+        else:
+            # grouped: G slots per buffered block, (b//G)*nb iterations.
+            # Numerics are bit-identical to the per-slot loop: every score/
+            # softmax/PV contraction is still per-slot over the same
+            # elements in the same order — only the DMA granularity and the
+            # MXU call SIZES change ([G*bk, W] scores, G-batched PV).
+            for g in range(b // group):
+                q_g = qsb[g * group:(g + 1) * group, :].astype(jnp.float32)
+
+                def blk_loop(j, carry, g=g, q_g=q_g):
+                    acc, m, l = carry
+                    i = g * nb + j
+                    slot = jax.lax.rem(i, 3)
+
+                    @pl.when(i + 2 < total)
+                    def _():
+                        copy_block(i + 2, jax.lax.rem(i + 2, 3))
+
+                    wait_block(i, slot)
+                    k_blk = kbuf[slot].reshape(group, bk, w)
+                    prod = (k_blk.astype(jnp.float32)
+                            * q_g[:, None, :]).reshape(group * bk, w)
+                    sc = jax.lax.dot(prod, gmask32,
+                                     preferred_element_type=jnp.float32)
+                    sc = sc.reshape(group, bk, num_heads)
+                    row = j * bk + jax.lax.broadcasted_iota(
+                        jnp.int32, sc.shape, 1)
+                    sc = jnp.where(row < len_e, sc, -jnp.inf)
+                    block_m = jnp.max(sc, axis=1)            # [G, H]
+                    m_new = jnp.maximum(m, block_m)
+                    alpha = jnp.exp(m - m_new)
+                    acc = acc * alpha[:, :, None]
+                    l = l * alpha
+                    pexp = jnp.exp(sc - m_new[:, None, :])
+                    l = l + jnp.sum(pexp, axis=1)
+                    v_blk = vbuf[slot].reshape(group, bk, w)
+                    v_blk = jnp.where(row[:, :, :1] < len_e, v_blk,
+                                      jnp.zeros_like(v_blk))
+                    acc = acc + jax.lax.dot_general(
+                        pexp.astype(v_blk.dtype), v_blk,
+                        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)  # [G, H, W]
+                    return acc, m_new, l
+
+                init = (jnp.zeros((group, num_heads, w), jnp.float32),
+                        jnp.full((group, num_heads), -jnp.inf, jnp.float32),
+                        jnp.zeros((group, num_heads), jnp.float32))
+                acc, m, l = jax.lax.fori_loop(0, nb, blk_loop, init)
+                accs_ref[g * group:(g + 1) * group] = acc
+                ms_ref[g * group:(g + 1) * group, :] = m
+                ls_ref[g * group:(g + 1) * group, :] = l
 
         # ---- batched self-term merge (fused_step.py math) ----------------
         acc2d = accs_ref[...].reshape(b * num_heads, w)
@@ -767,6 +834,27 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
     cos_t, sin_t = rope_cos_sin(jnp.arange(t_max), tok_cfg.head_dim,
                                 tok_cfg.rope_theta)
 
+    # grouped flash loop: largest group whose 3-deep [G, ppcb, ps, W] k+v
+    # rotation still fits the VMEM budget next to the token-net residency
+    # (the budget math below); G divides b so every group is full
+    tok_bytes = sum(int(np.prod(merged[n].shape)) * merged[n].dtype.itemsize
+                    for n in ("wq_t", "wk_t", "wv_t", "wo_t", "wg_t", "wu_t",
+                              "wd_t", "lm", "emb_t", "emb_net", "steps"))
+    vocab = merged["lm"].shape[-1]
+    bk = ppcb * page_size
+
+    def _vmem_limit(g):
+        # the grouped flash loop's spilled [G, H, W] f32 carries push the
+        # compiler's stack temporaries past the base slack — measured
+        # 118.92M demand at G=8/medium vs 110.9M accounted (2026-08-19)
+        scratch = (b * d + b * ng * 4 * d + n_rot * d * 4 * d) * 2 \
+            + 3 * 2 * g * bk * w * 2 + 2 * b * RMW_ROWS * w * 2 \
+            + b * cfgn.num_heads * (w + 2) * 4 + b * vocab * 4
+        return int(tok_bytes) + int(scratch) + _SLACK_BYTES + (2 << 20)
+
+    group = next((g for g in (8, 4, 2, 1)
+                  if b % g == 0 and _vmem_limit(g) <= 122 << 20), 1)
+
     kernel = functools.partial(
         _event_loop_kernel, batch=b, num_heads=cfgn.num_heads,
         head_dim=cfgn.head_dim, hidden=d, ng=ng,
@@ -775,7 +863,7 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
         n_rot=n_rot, t_layers=tok_cfg.num_layers, t_heads=tok_cfg.num_heads,
         t_head_dim=tok_cfg.head_dim, t_max=t_max, n_events=n_ev_types,
         t_eps=tok_cfg.rms_norm_eps, eos_id=int(cfg.tokenizer.eos_id),
-        greedy=greedy, stream_tok=stream_tok)
+        greedy=greedy, stream_tok=stream_tok, group=group)
 
     pool_shape = pools.k.shape
     assert not pools.quantized, "merged kernel serves bf16 pools"
@@ -785,8 +873,6 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
-    vocab = merged["lm"].shape[-1]
-    bk = ppcb * page_size
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -814,8 +900,8 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
             pltpu.VMEM((b, ng * 4 * d), dtype),          # g / gated
             pltpu.VMEM((n_rot, d, 4 * d), dtype),        # weight rotation
             pltpu.SemaphoreType.DMA((n_rot,)),
-            pltpu.VMEM((3, ppcb, page_size, w), pools.k.dtype),
-            pltpu.VMEM((3, ppcb, page_size, w), pools.v.dtype),
+            pltpu.VMEM((3, group, ppcb, page_size, w), pools.k.dtype),
+            pltpu.VMEM((3, group, ppcb, page_size, w), pools.v.dtype),
             pltpu.SemaphoreType.DMA((3, 2)),
             pltpu.VMEM((b, RMW_ROWS, w), pools.k.dtype),  # RMW tiles
             pltpu.VMEM((b, RMW_ROWS, w), pools.v.dtype),
@@ -827,14 +913,8 @@ def merged_decode_events(merged: dict, cfg, hidden: jax.Array,
         ],
     )
     # VMEM budget: token-net residency (~56 MB) + R weight-chunk slots +
-    # cache stream + RMW tiles + parked flash state + sampler work
-    tok_bytes = sum(int(np.prod(merged[n].shape)) * merged[n].dtype.itemsize
-                    for n in ("wq_t", "wk_t", "wv_t", "wo_t", "wg_t", "wu_t",
-                              "wd_t", "lm", "emb_t", "emb_net", "steps"))
-    scratch_bytes = (b * d + b * ng * 4 * d + n_rot * d * 4 * d) * 2 \
-        + 3 * 2 * bk * w * 2 + 2 * b * RMW_ROWS * w * 2 \
-        + b * cfgn.num_heads * (w + 2) * 4 + b * vocab * 4
-    vmem_limit = int(tok_bytes) + int(scratch_bytes) + _SLACK_BYTES
+    # grouped cache stream + RMW tiles + parked flash state + sampler work
+    vmem_limit = _vmem_limit(group)
 
     topk = _per_row(top_k, b, jnp.int32)
     outs = pl.pallas_call(
