@@ -172,6 +172,42 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
         slot = wait(c)
         return slot
 
+    # ---- cross-phase cache prefetch (aligned only) -----------------------
+    # The first 2 cache blocks of every layer phase are issued by the
+    # PREVIOUS phase — layer 0's during the token phase (~0.25 ms of
+    # otherwise cache-idle compute), layer li+1's right after layer li's
+    # flash loop (the MLP's weight-chunk consumes cover the latency).
+    # Without this the stream restarts cold L times per event: the block-0
+    # DMA is only issued after the qkv chunk wait, a measured stall at
+    # every phase boundary.  Geometry is per-event uniform, so the issuing
+    # phase computes the same (kp, row) the waiting phase expects.
+    def aligned_cache_copy(layer, i, slot):
+        len_e = len0_ref[0] + e_i
+        nbs_ = jnp.maximum((len_e + bk - 1) // bk, 1)
+        blk0 = jax.lax.rem(i, nbs_) * ppcb
+        need = (len_e + page_size - 1) // page_size - blk0
+        kp = jnp.clip(need, 1, ppcb)
+        row = layer * batch + (i // nbs_) * group
+        for kk in (range(1, ppcb + 1) if exact_tail else (ppcb,)):
+            def body(kk=kk):
+                for jj, (src, dst) in enumerate(
+                        ((k_out_ref, kbuf), (v_out_ref, vbuf))):
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(row, group), pl.ds(blk0, kk)],
+                        dst.at[slot, :, pl.ds(0, kk)],
+                        csems.at[slot, jj]).start()
+            if exact_tail:
+                pl.when(kp == kk)(body)
+            else:
+                body()
+
+    def prefetch_layer(layer):
+        """Issue blocks 0 and 1 of ``layer`` (this event) into slots 0/1."""
+        len_e = len0_ref[0] + e_i
+        total_ = (b // group) * ((len_e + bk - 1) // bk)
+        pl.when(total_ > 0)(lambda: aligned_cache_copy(layer, 0, 0))
+        pl.when(total_ > 1)(lambda: aligned_cache_copy(layer, 1, 1))
+
     # ======================================================================
     # phase 0: token row (token_loop.py semantics) + in-kernel event embed
     # ======================================================================
@@ -184,6 +220,10 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
                 issue(c0)
             if ragged:
                 alive_ref[...] = active0_ref[...]
+
+        if not ragged:
+            # layer 0's first cache blocks ride under the token compute
+            prefetch_layer(0)
 
         alive_b = (alive_ref[...] > 0) if ragged else None  # [B, 1]
         v_voc = lm_ref.shape[-1]
@@ -482,13 +522,17 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
                 == jax.lax.broadcasted_iota(jnp.int32, (num_heads, w), 0)
                 ).astype(jnp.float32)
 
-        @pl.when(total > 0)
-        def _():
-            copy_block(0, 0)
+        if ragged:
+            # aligned phases find blocks 0/1 already in flight (issued by
+            # the previous phase via prefetch_layer); ragged keeps the
+            # in-phase priming
+            @pl.when(total > 0)
+            def _():
+                copy_block(0, 0)
 
-        @pl.when(total > 1)
-        def _():
-            copy_block(1, 1)
+            @pl.when(total > 1)
+            def _():
+                copy_block(1, 1)
 
         if ragged:
             i0 = jnp.zeros((), jnp.int32)
@@ -593,6 +637,14 @@ def _event_loop_kernel(  # noqa: C901 - one kernel, one pipeline
                 accs_ref[g * group:(g + 1) * group] = acc
                 ms_ref[g * group:(g + 1) * group, :] = m
                 ls_ref[g * group:(g + 1) * group, :] = l
+
+            # every flash wait is done — slots 0/1 are free.  Prime the
+            # NEXT layer's first blocks now so its stream is already
+            # flowing while this layer's o-proj + MLP compute (the token
+            # phase primes layer 0 of the next event).
+            @pl.when(li < n_layers - 1)
+            def _():
+                prefetch_layer(li + 1)
 
         # ---- batched self-term merge (fused_step.py math) ----------------
         acc2d = accs_ref[...].reshape(b * num_heads, w)

@@ -99,6 +99,16 @@ def main():
         dict(batch_size=2, backend="auto", remat="dots", name="tv2o-large"),
         dict(batch_size=2, backend="auto", token_chunk=2048, remat=True,
              name="tv2o-large"),
+        # round-5 (VERDICT task 4): does a LARGER batch help once remat=dots
+        # (the supported policy — whole-layer remat crashes the compiler,
+        # tools/repro_splash_remat_crash.py) makes bs=8 compileable?
+        dict(batch_size=2, backend="auto", remat="dots"),            # 7
+        dict(batch_size=4, backend="auto", remat="dots",
+             token_chunk=2048),                                      # 8
+        dict(batch_size=8, backend="auto", remat="dots",
+             token_chunk=2048),                                      # 9
+        dict(batch_size=8, backend="auto", remat="dots",
+             token_chunk=2048, name="tv2o-large"),                   # 10
     ]
     only = sys.argv[1] if len(sys.argv) > 1 else None
     for i, job in enumerate(jobs):
