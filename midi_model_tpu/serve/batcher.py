@@ -201,6 +201,39 @@ def _splice_slot(slot, p_len, pools, hidden_all, index_all,
                         pages_per_slot=pages_per_slot, n_slots=n_slots)
 
 
+@functools.partial(jax.jit, donate_argnums=(3,),
+                   static_argnames=("page_size", "pages_per_slot", "n_slots"))
+def _splice_group(slots, p_lens, valid, pools, hidden_all, index_all,
+                  pre_k, pre_v, h_last, *, page_size: int,
+                  pages_per_slot: int, n_slots: int):
+    """Install a whole admission group in ONE dispatch (single-chip).
+
+    slots/p_lens/valid: [G]; pre_k/pre_v: [L, G, bucket, Hkv, D] (the
+    batched-prefill output); h_last: [G, D].  Scans :func:`_splice_impl`
+    over the group; padded members (``valid`` False) are no-ops via its
+    ``mine`` plumbing.  One program caches per (bucket, G) pair — ``_admit``
+    already pads G to a power of two capped at ``_MAX_PREFILL_GROUP``, so
+    an admission wave of k same-bucket requests costs TWO dispatches
+    (prefill + splice) instead of 1 + k; under churn the per-request splice
+    chain was the measured admission-wave p99 driver (BASELINE.md round-5
+    churn note)."""
+
+    def body(carry, xs):
+        pools, hidden_all, index_all = carry
+        slot, p_len, ok, pk, pv, hl = xs
+        pools, hidden_all, index_all = _splice_impl(
+            slot, ok, p_len, pools, hidden_all, index_all,
+            pk[:, None], pv[:, None], hl, page_size=page_size,
+            pages_per_slot=pages_per_slot, n_slots=n_slots)
+        return (pools, hidden_all, index_all), None
+
+    (pools, hidden_all, index_all), _ = jax.lax.scan(
+        body, (pools, hidden_all, index_all),
+        (slots, p_lens, valid, jnp.moveaxis(pre_k, 1, 0),
+         jnp.moveaxis(pre_v, 1, 0), h_last))
+    return pools, hidden_all, index_all
+
+
 def _step_impl(params, config: MIDIModelConfig, carry, masks, active, temp,
                top_p, top_k, slot_seed, chunk: int, greedy: bool = False,
                allow=None, fused=None, merged=None, *, page_size: int,
@@ -560,8 +593,11 @@ class ContinuousBatcher:
         # (2026-08-19), fused+token is SLOWER than the split streaming path
         # at 32 slots (8,400 vs 9,277 ev/s — the batcher's ragged per-slot
         # lengths defeat the layer-grid weight stream's amortization) and
-        # identical at 128 slots (21.1k, cache-bandwidth-bound either way),
-        # while int8@128 slots hits a runtime FailedPrecondition with it on.
+        # identical at 128 slots (21.1k, cache-bandwidth-bound either way).
+        # The round-4 int8@128 runtime FailedPrecondition with it on no
+        # longer reproduces (2026-08-20: tools/repro_int8_fused.py runs the
+        # forced combination clean at 28.2k ev/s — the production
+        # scoped-VMEM raise, added later in round 4, also cleared it).
         # Aligned decode_events keeps the fused kernel — equal-length rows
         # are exactly the regime it wins in (13.9k vs 11.7k split).
         # tools/probe_both_kernels_real.py re-measures the combination.
@@ -722,12 +758,30 @@ class ContinuousBatcher:
                     pre_k, pre_v, h_last = _prefill_request(
                         self.params, self.config, jnp.asarray(padded),
                         jnp.asarray(p_lens), bucket)
-                for j, (slot, item) in enumerate(part):
-                    self._install(slot, item, pre_k[:, j: j + 1],
-                                  pre_v[:, j: j + 1], h_last[j])
+                if self.mesh is None:
+                    # whole group in ONE splice dispatch (see _splice_group)
+                    slots_arr = np.zeros((gpad,), np.int32)
+                    valid = np.zeros((gpad,), bool)
+                    for j, (slot, _item) in enumerate(part):
+                        slots_arr[j] = slot
+                        valid[j] = True
+                    (self._pools, self._hidden, self._index) = _splice_group(
+                        jnp.asarray(slots_arr), jnp.asarray(p_lens),
+                        jnp.asarray(valid), self._pools, self._hidden,
+                        self._index, pre_k, pre_v, h_last,
+                        page_size=ps, pages_per_slot=self.pages_per_slot,
+                        n_slots=self.n_slots)
+                    for slot, item in part:
+                        self._install_host(slot, item)
+                else:
+                    for j, (slot, item) in enumerate(part):
+                        self._install(slot, item, pre_k[:, j: j + 1],
+                                      pre_v[:, j: j + 1], h_last[j])
 
     def _install(self, slot: int, item, pre_k, pre_v, h_last):
-        rid, prompt, budget, knobs, allow, seed = item
+        """Per-request splice + host install (sharded path; the single-chip
+        path batches the splice across the group in ``_admit``)."""
+        rid, prompt, *_rest = item
         p_len = prompt.shape[0]
         ps = self.page_size
         if self.mesh is not None:
@@ -740,6 +794,11 @@ class ContinuousBatcher:
                 self._pools, self._hidden, self._index,
                 pre_k, pre_v, h_last, page_size=ps,
                 pages_per_slot=self.pages_per_slot, n_slots=self.n_slots)
+        self._install_host(slot, item)
+
+    def _install_host(self, slot: int, item):
+        rid, prompt, budget, knobs, allow, seed = item
+        p_len = prompt.shape[0]
         s = self.slots[slot]
         self._index_host[slot] = p_len
         s.request_id = rid

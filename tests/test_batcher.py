@@ -175,3 +175,48 @@ def test_64_slots_construct(setup, monkeypatch):
     cfg, params = setup
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     ContinuousBatcher(params, cfg, n_slots=64, max_seq=64)
+
+
+def test_grouped_splice_matches_per_request(setup):
+    """An admission wave spliced in ONE dispatch (_splice_group, round 5:
+    1 + k device dispatches per wave -> 2) is slot-for-slot identical to
+    per-request _splice_slot installs — greedy outputs must match exactly
+    across mixed prompt lengths (two prefill buckets) and a padded group
+    (g=3 -> gpad=4 with one invalid member)."""
+    import midi_model_tpu.serve.batcher as bt
+
+    cfg, params = setup
+    tok = cfg.tokenizer
+    prompts = [bos_prompt(tok), bos_prompt(tok, extra=2),
+               bos_prompt(tok, extra=1), bos_prompt(tok, extra=3),
+               bos_prompt(tok)]
+
+    def run(grouped):
+        saved = bt._splice_group
+        if not grouped:
+            def per_request(slots, p_lens, valid, pools, hidden, index,
+                            pre_k, pre_v, h_last, **kw):
+                s = np.asarray(slots)
+                pl = np.asarray(p_lens)
+                v = np.asarray(valid)
+                for j in range(len(v)):
+                    if not v[j]:
+                        continue
+                    pools, hidden, index = bt._splice_slot(
+                        jnp.asarray(s[j]), jnp.asarray(pl[j]), pools,
+                        hidden, index, pre_k[:, j: j + 1],
+                        pre_v[:, j: j + 1], h_last[j], **kw)
+                return pools, hidden, index
+
+            bt._splice_group = per_request
+        try:
+            b = bt.ContinuousBatcher(params, cfg, n_slots=8, max_seq=64,
+                                     chunk=4, greedy=True)
+            rids = [b.submit(p, max_events=6) for p in prompts]
+            results = b.run_all()
+        finally:
+            bt._splice_group = saved
+        return [np.asarray(results[r].rows) for r in rids]
+
+    for a, c in zip(run(True), run(False)):
+        np.testing.assert_array_equal(a, c)
