@@ -16,7 +16,17 @@ and prints either the verbatim failure (plus the scoped-vmem/HLO context
 that usually accompanies it) or a steady-state throughput if the current
 JAX/XLA stack has stopped rejecting it.
 
-Observed on the live v5e: see the "Result" note appended below / BASELINE.md.
+Result (2026-08-20, live v5e, round-5 stack): the FailedPrecondition NO
+LONGER REPRODUCES.  ``int8 @ 128 slots + fused`` compiles (196 s) and runs
+clean at **28,151 ev/s sustained** (145.5 ms/step) — vs 26,262 ev/s for the
+shipped default (split streaming event net) in the same session
+(tools/bench_batcher.py --steady --int8 --slots=128).  The round-4 failure
+predated the production scoped-VMEM raise (utils/xla_opts.py, added later
+that round for the chunk-32 compile rejections); the raise evidently also
+cleared this runtime precondition.  The fused net stays OFF by default in
+the batcher: the +7%% here is a uniform-length full-occupancy number, and
+the fused kernel measured slower than the split streaming path under the
+ragged lengths real serving produces (serve/batcher.py module docstring).
 """
 
 import sys
